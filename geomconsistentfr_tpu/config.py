@@ -1,0 +1,285 @@
+"""Single source of truth for every behavioural constant of the framework.
+
+The reference hard-codes these constants inline in five monolithic scripts; this
+module lifts them into frozen (hashable, jit-static-arg friendly) dataclasses and
+provides one preset per reference entry point.
+
+Reference provenance (paths relative to the reference repo):
+  * image size / lr / intensities / distances / sample counts:
+      test_relight_single_image.py:15-22,
+      test_relight_single_image_lighting_transfer.py:15-22
+  * depth offset for normals: test_relight_single_image.py:326 (+1610) vs
+      test_relight_single_image_lighting_transfer.py:325 (+1410)
+  * focal length: test_relight_single_image.py:570 (1570) vs
+      test_relight_single_image_lighting_transfer.py:530 (700)
+  * ambient handling: test_relight_single_image.py:342 (est-0.1),
+      test_raytracing_relighting_CelebAHQ_DSSIM_8x.py:341-342 (est),
+      test_relight_single_image_lighting_transfer.py:348 (target arg),
+      train_*.py:367 (est)
+  * lighting source: train_*.py:357-364 (self-estimated, z clamped >= 0),
+      test scripts (external target); transfer test additionally returns the
+      estimate with z clamped >= 0.16 (test_..._lighting_transfer.py:332-334)
+  * +5.0 shadow "kill switch": test_relight_single_image.py:495-496
+      (light inside image) vs test_..._lighting_transfer.py:503-504 (4x bounds);
+      absent in both train scripts
+  * training shape: train_raytracing_relighting_CelebAHQ_DSSIM_8x.py:41-49,579-580
+  * loss weights: train_raytracing_relighting_CelebAHQ_DSSIM_8x.py:621-645
+  * skip-connection gate epochs: train_*.py:245-284 region (epoch > 8/10/12/14)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# Renderer
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Differentiable renderer constants (Lambertian shading + ray-marched shadows)."""
+
+    img_height: int = 256
+    img_width: int = 256
+
+    # Lambertian term.
+    directional_intensity: float = 0.5    # 0.41 for the lighting-transfer test
+    light_distance: float = 4013.0
+
+    # Ray-march sampling: t in [t_start, t_stop) with step t_step.
+    num_sample_points: int = 160          # 159 for the lighting-transfer test
+    t_start: float = 0.025                # 0.03 for the lighting-transfer test
+    t_stop: float = 0.825
+    t_step: float = 0.005
+
+    # Depth head output is multiplied by this ("allow network to estimate
+    # smaller values", train_*.py:349-350).
+    depth_scale: float = 100.0
+    # Offset added to depth before surface-normal estimation.
+    depth_offset: float = 1610.0          # 1410 for the lighting-transfer test
+
+    # Camera intrinsics (principal point is the image centre).
+    focal_length: float = 1570.0          # 700 for the lighting-transfer test
+
+    # Where the ambient intensity comes from:
+    #   'estimated'            SL head output channel 0
+    #   'estimated_minus_0.1'  SL head output channel 0 minus 0.1
+    #   'target'               caller-provided target ambient argument
+    ambient_mode: str = "estimated"
+
+    # Where the rendering light direction comes from:
+    #   'target'          caller-provided target light direction
+    #   'self_estimated'  SL head output channels 1:4 (z clamped at z_clamp_min)
+    lighting_mode: str = "target"
+
+    # Clamp applied to the *estimated* light z component before normalisation.
+    # train scripts clamp at 0.0; the transfer test clamps its returned estimate
+    # at 0.16 (it renders with the target light, so the clamp only affects the
+    # estimate handed to pass 2).
+    z_clamp_min: float = 0.0
+
+    # The "+5.0 to min distance" shadow kill switch.
+    #   'none'          (training)
+    #   'inside_image'  light xy inside [-W/2, W/2-1] x [1-H/2, H/2]
+    #   'wide'          light xy inside [-4W, 4W] x [4(1-H), 4H]
+    shadow_bias_gate: str = "none"
+    shadow_bias: float = 5.0
+
+    # Number of ray-march steps evaluated per lax.scan iteration in the pure-JAX
+    # path (performance knob only; does not change semantics).
+    march_chunk: int = 32
+
+    # Use the fused Pallas kernel for the shadow march when running on TPU.
+    use_pallas_shadows: bool = True
+
+    @property
+    def half_w(self) -> float:
+        return self.img_width / 2.0
+
+    @property
+    def half_h(self) -> float:
+        return self.img_height / 2.0
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """RelightNet architecture configuration.
+
+    The two reference variants differ only in the residual projection shortcuts:
+      'target'    3x3 shortcuts with bias (train_raytracing_...py:63-69 etc.)
+      'transfer'  1x1 bias-free shortcuts (train_lighting_transfer.py:63-69 etc.)
+    """
+
+    variant: str = "target"  # 'target' | 'transfer'
+
+    in_channels: int = 3
+    base_channels: int = 16
+    encoder_channels: Tuple[int, ...] = (16, 32, 64, 155)
+    identity_channels: int = 128   # first 128 channels of the bottleneck
+    lighting_channels: int = 27    # remaining 27 channels feed the lighting head
+    lighting_hidden: int = 128     # linear_SL1 width
+    lighting_out: int = 4          # [ambient, lx, ly, lz]
+
+    bn_momentum: float = 0.1       # torch BatchNorm2d default
+    bn_eps: float = 1e-5
+    leaky_slope: float = 0.2
+
+    # Encoder skip connections into the decoders are enabled once the training
+    # epoch exceeds these thresholds (stage order: deepest first).
+    skip_gate_epochs: Tuple[int, int, int, int] = (8, 10, 12, 14)
+
+    def skip_gates(self, epoch: int) -> Tuple[bool, bool, bool, bool]:
+        return tuple(epoch > e for e in self.skip_gate_epochs)  # type: ignore[return-value]
+
+
+@dataclasses.dataclass(frozen=True)
+class PatchGANConfig:
+    """70x70-style PatchGAN discriminator (train_*.py:15-35)."""
+
+    channels: Tuple[int, ...] = (64, 128, 256, 512)
+    kernel: int = 4
+    leaky_slope: float = 0.2
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Loss weights (train_raytracing_relighting_CelebAHQ_DSSIM_8x.py:621-645)."""
+
+    reconstruction: float = 20.0
+    depth: float = 1.0
+    ambient: float = 2.5
+    direction: float = 1.0
+    albedo: float = 5.0
+    gan: float = 0.01
+    dssim: float = 8.0
+    ambient_target: float = 0.5  # pseudo-GT ambient (train_*.py:541)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 3               # per-replica batch (reference global batch)
+    learning_rate: float = 1e-4
+    max_epochs: int = 1000
+    batches_per_epoch: int = 700
+    gd_ratio: int = 5                 # discriminator updated every gd_ratio-th step
+    dataset_size: int = 29890
+    seed: int = 0
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    # Cross-replica BatchNorm statistics under data parallelism (pmean of
+    # moments) so multi-chip training matches single-device semantics.
+    sync_batch_norm: bool = True
+    checkpoint_every_steps: int = 700
+    checkpoint_dir: str = "checkpoints"
+    log_every_steps: int = 1
+
+
+# ---------------------------------------------------------------------------
+# Pipeline (model + renderer + training)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+# ---------------------------------------------------------------------------
+# Presets: one per reference entry point
+# ---------------------------------------------------------------------------
+
+
+def preset_target_lighting_train() -> PipelineConfig:
+    """train_raytracing_relighting_CelebAHQ_DSSIM_8x.py"""
+    return PipelineConfig(
+        model=ModelConfig(variant="target"),
+        render=RenderConfig(
+            ambient_mode="estimated",
+            lighting_mode="self_estimated",
+            z_clamp_min=0.0,
+            shadow_bias_gate="none",
+        ),
+    )
+
+
+def preset_transfer_train() -> PipelineConfig:
+    """train_lighting_transfer.py (same renderer as target training)."""
+    return PipelineConfig(
+        model=ModelConfig(variant="transfer"),
+        render=RenderConfig(
+            ambient_mode="estimated",
+            lighting_mode="self_estimated",
+            z_clamp_min=0.0,
+            shadow_bias_gate="none",
+        ),
+    )
+
+
+def preset_single_image() -> PipelineConfig:
+    """test_relight_single_image.py (target-lighting single-image inference)."""
+    return PipelineConfig(
+        model=ModelConfig(variant="target"),
+        render=RenderConfig(
+            ambient_mode="estimated_minus_0.1",
+            lighting_mode="target",
+            shadow_bias_gate="inside_image",
+        ),
+    )
+
+
+def preset_multipie_eval() -> PipelineConfig:
+    """test_raytracing_relighting_CelebAHQ_DSSIM_8x.py (862-image benchmark sweep).
+
+    Note: this script keeps the estimated ambient with NO -0.1 offset
+    (test_raytracing_...py:341-342) and has no +5.0 gate in its shadow loop.
+    """
+    return PipelineConfig(
+        model=ModelConfig(variant="target"),
+        render=RenderConfig(
+            ambient_mode="estimated",
+            lighting_mode="target",
+            shadow_bias_gate="inside_image",
+        ),
+    )
+
+
+def preset_lighting_transfer() -> PipelineConfig:
+    """test_relight_single_image_lighting_transfer.py (2-pass lighting transfer)."""
+    return PipelineConfig(
+        model=ModelConfig(variant="transfer"),
+        render=RenderConfig(
+            directional_intensity=0.41,
+            num_sample_points=159,
+            t_start=0.03,
+            depth_offset=1410.0,
+            focal_length=700.0,
+            ambient_mode="target",
+            lighting_mode="target",
+            z_clamp_min=0.16,
+            shadow_bias_gate="wide",
+        ),
+    )
+
+
+PRESETS = {
+    "target_lighting_train": preset_target_lighting_train,
+    "transfer_train": preset_transfer_train,
+    "single_image": preset_single_image,
+    "multipie_eval": preset_multipie_eval,
+    "lighting_transfer": preset_lighting_transfer,
+}
