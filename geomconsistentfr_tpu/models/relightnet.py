@@ -68,6 +68,8 @@ class RelightNet(nn.Module):
         slope = cfg.leaky_slope
         ura = not train
 
+        prec = None if cfg.conv_precision == "default" else cfg.conv_precision
+
         def lrelu(x):
             return leaky_relu(x, slope)
 
@@ -81,15 +83,15 @@ class RelightNet(nn.Module):
             )(x, use_running_average=ura)
 
         def conv_bn(x, name, feat, k):
-            return bn(conv2d(x, feat, k, name=f"conv_{name}"), f"bn_{name}")
+            return bn(conv2d(x, feat, k, name=f"conv_{name}", precision=prec), f"bn_{name}")
 
         def shortcut(x, name, feat, transposed):
             # Projection shortcut; variant-dependent geometry.
             layer = "deconv_" if transposed else "conv_"
             if cfg.variant == "target":
-                y = conv2d(x, feat, 3, name=f"{layer}{name}")
+                y = conv2d(x, feat, 3, name=f"{layer}{name}", precision=prec)
             elif cfg.variant == "transfer":
-                y = conv2d(x, feat, 1, name=f"{layer}{name}", use_bias=False)
+                y = conv2d(x, feat, 1, name=f"{layer}{name}", use_bias=False, precision=prec)
             else:
                 raise ValueError(f"unknown variant: {cfg.variant}")
             return bn(y, f"bn_{name}")
@@ -135,6 +137,7 @@ class RelightNet(nn.Module):
                 name="linear_SL1",
                 kernel_init=_dense_init,
                 bias_init=_dense_bias_init(cfg.lighting_channels),
+                precision=prec,
             )(lf)
         )
         lighting = nn.Dense(
@@ -142,6 +145,7 @@ class RelightNet(nn.Module):
             name="linear_SL2",
             kernel_init=_dense_init,
             bias_init=_dense_bias_init(cfg.lighting_hidden),
+            precision=prec,
         )(sl1)
 
         # ------------------------------------------------------------------
@@ -160,12 +164,12 @@ class RelightNet(nn.Module):
             for idx, (stage, feat, sc_src) in enumerate(stages):
                 y1 = lrelu(
                     bn(
-                        conv2d(x, feat, 3, name=f"deconv_{prefix}_{stage}_1"),
+                        conv2d(x, feat, 3, name=f"deconv_{prefix}_{stage}_1", precision=prec),
                         f"bn_{prefix}_{stage}_1",
                     )
                 )
                 y2 = bn(
-                    conv2d(y1, feat, 3, name=f"deconv_{prefix}_{stage}_2"),
+                    conv2d(y1, feat, 3, name=f"deconv_{prefix}_{stage}_2", precision=prec),
                     f"bn_{prefix}_{stage}_2",
                 )
                 if sc_src is None:
@@ -189,7 +193,7 @@ class RelightNet(nn.Module):
             x = lrelu(conv_bn(x, f"{prefix}_c2_1", 16, 3))
             x = lrelu(conv_bn(x, f"{prefix}_c2_2", 16, 1))
             x = lrelu(conv_bn(x, f"{prefix}_c2_3", 16, 1))
-            return conv2d(x, out_ch, 1, name=f"conv_{prefix}_c2_o")
+            return conv2d(x, out_ch, 1, name=f"conv_{prefix}_c2_o", precision=prec)
 
         albedo = jax.nn.sigmoid(decoder("albedo", 3))
         # "allow network to estimate smaller values" (train_*.py:349-350)

@@ -1,0 +1,156 @@
+"""Differentiable renderer: network outputs -> relit image.
+
+Composes the geometry, shading and shadow ops into the reference's rendering
+semantics (test_relight_single_image.py:326-505):
+  1. surface normals from (depth + depth_offset) via intrinsics, y negated (:326-327)
+  2. 3D point map (xx, yy, depth) on the centred pixel grid (:329)
+  3. point light at light_distance * unit_direction (:332-336)
+  4. clamped Lambertian directional term (:337-346)
+  5. ray-marched min distance -> soft shadow weights (:348-499)
+  6. final shading blend and albedo composite (:499-503)
+
+The light source / ambient source are configured by RenderConfig
+(lighting_mode / ambient_mode / z_clamp_min), covering all five reference
+entry points; see config.py provenance notes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from geomconsistentfr_tpu.config import RenderConfig
+from geomconsistentfr_tpu.ops import shadows as shadows_ops
+from geomconsistentfr_tpu.ops.geometry import (
+    depth_to_normals,
+    l2_normalize,
+    pixel_grid_centered,
+)
+from geomconsistentfr_tpu.ops.shading import (
+    composite,
+    directional_shading,
+    shadow_weights,
+)
+
+Array = jax.Array
+
+
+class RenderOutputs(NamedTuple):
+    """Superset of all tensors the reference forwards return (:505, :514, :524)."""
+
+    albedo: Array                        # (B, H, W, 3)
+    depth: Array                         # (B, H, W)
+    shadow_mask_weights: Array           # (B, H, W)
+    ambient_light: Array                 # (B, H, W) ambient-only shading map
+    full_shading: Array                  # (B, H, W)
+    rendered: Array                      # (B, H, W, 3)
+    unit_light_direction: Array          # (B, 3) light used for rendering
+    ambient_values: Array                # (B,) ambient used for rendering
+    final_shading: Array                 # (B, H, W)
+    surface_normals: Array               # (B, H, W, 3)
+    estimated_unit_light_direction: Array  # (B, 3) head estimate (z clamped)
+    estimated_ambient: Array             # (B,) head ambient estimate
+    min_distance: Array                  # (B, H, W) ray-march output
+
+
+def estimated_light(lighting: Array, cfg: RenderConfig) -> tuple[Array, Array]:
+    """Split + post-process the raw lighting head output (B, 4).
+
+    Returns (unit_direction (B,3), ambient (B,)). The z component is clamped at
+    cfg.z_clamp_min before normalisation (train_*.py:358-360 clamp at 0;
+    transfer test clamps at 0.16, test_..._lighting_transfer.py:332-334).
+    """
+    ambient = lighting[:, 0]
+    direction = lighting[:, 1:4]
+    z = jnp.maximum(direction[:, 2], cfg.z_clamp_min)
+    direction = jnp.concatenate([direction[:, 0:2], z[:, None]], axis=-1)
+    return l2_normalize(direction, axis=-1), ambient
+
+
+def render(
+    albedo: Array,
+    depth: Array,
+    lighting: Array,
+    mask: Array,
+    cfg: RenderConfig,
+    target_light: Optional[Array] = None,
+    target_ambient: Optional[Array] = None,
+) -> RenderOutputs:
+    """Render a relit image from network outputs.
+
+    Args:
+      albedo: (B, H, W, 3) in [0, 1].
+      depth: (B, H, W), already scaled by depth_scale.
+      lighting: (B, 4) raw lighting-head output [ambient, lx, ly, lz].
+      mask: (B, H, W) face mask (exact zeros veto shadow samples).
+      cfg: static renderer constants.
+      target_light: (B, 3) target light direction (need not be unit).
+      target_ambient: (B,) target ambient intensity.
+    """
+    b, h, w = depth.shape
+    f = cfg.focal_length
+    cx, cy = cfg.half_w, cfg.half_h
+
+    est_unit, est_ambient = estimated_light(lighting, cfg)
+
+    if cfg.lighting_mode == "target":
+        if target_light is None:
+            raise ValueError("lighting_mode='target' requires target_light")
+        unit_dir = l2_normalize(target_light, axis=-1)
+    elif cfg.lighting_mode == "self_estimated":
+        unit_dir = est_unit
+    else:
+        raise ValueError(f"unknown lighting_mode: {cfg.lighting_mode}")
+
+    if cfg.ambient_mode == "estimated":
+        ambient = est_ambient
+    elif cfg.ambient_mode == "estimated_minus_0.1":
+        ambient = est_ambient - 0.1
+    elif cfg.ambient_mode == "target":
+        if target_ambient is None:
+            raise ValueError("ambient_mode='target' requires target_ambient")
+        ambient = target_ambient
+    else:
+        raise ValueError(f"unknown ambient_mode: {cfg.ambient_mode}")
+
+    # Normals (y negated, reference :327; renormalisation at :338 is a no-op
+    # on already-unit normals).
+    normals = depth_to_normals(depth + cfg.depth_offset, f, f, cx, cy)
+    normals = normals * jnp.asarray([1.0, -1.0, 1.0], dtype=normals.dtype)
+
+    xx, yy = pixel_grid_centered(h, w, dtype=depth.dtype)
+    points_3d = jnp.stack(
+        [jnp.broadcast_to(xx, depth.shape), jnp.broadcast_to(yy, depth.shape), depth],
+        axis=-1,
+    )
+
+    light_point = cfg.light_distance * unit_dir  # (B, 3)
+    directional = directional_shading(
+        normals, points_3d, light_point, cfg.directional_intensity
+    )
+    ambient_map = jnp.broadcast_to(ambient[:, None, None], depth.shape)
+    full_shading = ambient_map + directional
+
+    min_distance = shadows_ops.ray_march_min_distance_batch(
+        depth, mask, light_point, cfg
+    )
+    weights = shadow_weights(min_distance)
+    final_shading, rendered = composite(albedo, full_shading, ambient_map, weights)
+
+    return RenderOutputs(
+        albedo=albedo,
+        depth=depth,
+        shadow_mask_weights=weights,
+        ambient_light=ambient_map,
+        full_shading=full_shading,
+        rendered=rendered,
+        unit_light_direction=unit_dir,
+        ambient_values=ambient,
+        final_shading=final_shading,
+        surface_normals=normals,
+        estimated_unit_light_direction=est_unit,
+        estimated_ambient=est_ambient,
+        min_distance=min_distance,
+    )

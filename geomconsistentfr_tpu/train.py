@@ -1,0 +1,349 @@
+"""Self-supervised GAN training (reference train_*.py:560-693), TPU-native.
+
+Semantics reproduced:
+  * one RelightNet forward per step, reused by both discriminator and
+    generator phases (:618, :641);
+  * discriminator sees composite-into-input fakes and raw inputs, is trained
+    with 0.01-weighted BCE, and *steps only every GD_ratio-th batch* while its
+    BatchNorm statistics update on every forward (:617-629);
+  * generator total = recon + depth + ambient + direction + albedo + g_adv +
+    DSSIM with the reference weights (:631-645);
+  * two Adam(1e-4) optimizers with torch defaults (:589-590);
+  * skip-connection gates open at epochs >8/>10/>12/>14 (:245-284 region);
+  * lighting self-estimated from the input with z clamped >= 0 (:357-360).
+
+TPU-native additions (no reference counterpart, SURVEY.md §2.3):
+  * shard_map data parallelism over a 1-D `data` mesh axis; gradients and
+    masked-loss numerators/denominators are psum-reduced so the update equals
+    the reference's single-device global-batch computation;
+  * cross-replica BatchNorm (pmean of moments) inside the modules;
+  * step-level orbax checkpointing with resume (the reference can only save).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from geomconsistentfr_tpu.config import PipelineConfig, preset_target_lighting_train
+from geomconsistentfr_tpu.losses import (
+    discriminator_losses,
+    generator_losses,
+    masked_composite,
+)
+from geomconsistentfr_tpu.models.patchgan import PatchGAN
+from geomconsistentfr_tpu.models.relightnet import RelightNet
+from geomconsistentfr_tpu.parallel.mesh import (
+    DATA_AXIS,
+    make_mesh,
+    shard_batch_spec,
+    shard_map_fn,
+)
+from geomconsistentfr_tpu.render import render
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+
+class TrainState(struct.PyTreeNode):
+    step: Array
+    params_g: Any
+    batch_stats_g: Any
+    opt_g: Any
+    params_d: Any
+    batch_stats_d: Any
+    opt_d: Any
+
+
+def make_optimizer(lr: float) -> optax.GradientTransformation:
+    # torch.optim.Adam defaults (train_*.py:589-590).
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def init_state(
+    cfg: PipelineConfig, rng: jax.Array, batch_size: Optional[int] = None
+) -> TrainState:
+    model = RelightNet(cfg=cfg.model)
+    patchgan = PatchGAN()
+    b = batch_size or cfg.train.batch_size
+    h, w = cfg.render.img_height, cfg.render.img_width
+    rng_g, rng_d = jax.random.split(rng)
+    dummy = jnp.zeros((b, h, w, 3), jnp.float32)
+    vars_g = model.init(rng_g, dummy, train=False)
+    vars_d = patchgan.init(rng_d, dummy, train=False)
+    tx = make_optimizer(cfg.train.learning_rate)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params_g=vars_g["params"],
+        batch_stats_g=vars_g["batch_stats"],
+        opt_g=tx.init(vars_g["params"]),
+        params_d=vars_d["params"],
+        batch_stats_d=vars_d["batch_stats"],
+        opt_d=tx.init(vars_d["params"]),
+    )
+
+
+def _train_step(
+    state: TrainState,
+    batch: Dict[str, Array],
+    *,
+    cfg: PipelineConfig,
+    use_skips: Tuple[bool, bool, bool, bool],
+    axis_name: Optional[str],
+) -> Tuple[TrainState, Dict[str, Array]]:
+    model = RelightNet(cfg=cfg.model, axis_name=axis_name)
+    patchgan = PatchGAN(axis_name=axis_name)
+    tx = make_optimizer(cfg.train.learning_rate)
+    lcfg = cfg.train.loss
+    rcfg = cfg.render
+
+    images = batch["image"]
+    face_mask = batch["face_mask"]
+
+    def d_apply(params_d, bs_d, x):
+        logits, mutated = patchgan.apply(
+            {"params": params_d, "batch_stats": bs_d},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return logits, mutated["batch_stats"]
+
+    # One fused loss: a single RelightNet forward feeds both phases (the
+    # reference reuses its forward across D and G phases, :618/:641).
+    # Phase separation is via stop_gradient:
+    #   d_loss sees a stop-grad composite (optimizer.zero_grad at :631 discards
+    #   the D-phase gradient that torch leaks into the generator), and
+    #   g_adv runs the discriminator with stop-grad parameters (the G-phase
+    #   gradient torch leaks into D is cleared at :617 next step).
+    # D BatchNorm statistics update on all three forwards, in reference order.
+    def loss_fn(params_g, params_d):
+        net, mutated = model.apply(
+            {"params": params_g, "batch_stats": state.batch_stats_g},
+            images,
+            train=True,
+            use_skips=use_skips,
+            mutable=["batch_stats"],
+        )
+        out = render(net.albedo, net.depth, net.lighting, face_mask, rcfg)
+        bs_g = mutated["batch_stats"]
+
+        composite = masked_composite(out.rendered, images, face_mask)
+        composite_sg = jax.lax.stop_gradient(composite)
+
+        fake_sg, bs1 = d_apply(params_d, state.batch_stats_d, composite_sg)
+        real_sg, bs2 = d_apply(params_d, bs1, images)
+        d_metrics = discriminator_losses(fake_sg, real_sg, lcfg, axis_name)
+
+        params_d_sg = jax.tree.map(jax.lax.stop_gradient, params_d)
+        fake_for_g, bs_d_new = d_apply(params_d_sg, bs2, composite)
+
+        g_metrics = generator_losses(
+            rendered=out.rendered,
+            images=images,
+            depth=out.depth,
+            depth_gt=batch["depth_gt"],
+            depth_mask=batch["depth_mask"],
+            albedo=out.albedo,
+            albedo_gt=batch["albedo_gt"],
+            face_mask=face_mask,
+            est_ambient=out.ambient_values,
+            est_unit_dir=out.unit_light_direction,
+            light_gt=batch["light_gt"],
+            fake_logits=fake_for_g,
+            cfg=lcfg,
+            axis_name=axis_name,
+        )
+        combined = g_metrics["total"] + d_metrics["discriminator"]
+        return combined, ({**g_metrics, **d_metrics}, bs_g, bs_d_new)
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+    (_, (metrics, bs_g_new, bs_d_new)), (g_grads, d_grads) = grad_fn(
+        state.params_g, state.params_d
+    )
+    if axis_name is not None:
+        g_grads = jax.lax.pmean(g_grads, axis_name)
+        d_grads = jax.lax.pmean(d_grads, axis_name)
+
+    # D parameters update only every GD_ratio-th step; its BN stats and the
+    # loss are computed every step (reference :624-629).
+    d_updates, opt_d_applied = tx.update(d_grads, state.opt_d, state.params_d)
+    apply_d = (state.step % cfg.train.gd_ratio) == 0
+    params_d = jax.tree.map(
+        lambda p, u: jnp.where(apply_d, p + u, p), state.params_d, d_updates
+    )
+    opt_d = jax.tree.map(
+        lambda new, old: jnp.where(apply_d, new, old), opt_d_applied, state.opt_d
+    )
+
+    g_updates, opt_g = tx.update(g_grads, state.opt_g, state.params_g)
+    params_g = optax.apply_updates(state.params_g, g_updates)
+    new_state = TrainState(
+        step=state.step + 1,
+        params_g=params_g,
+        batch_stats_g=bs_g_new,
+        opt_g=opt_g,
+        params_d=params_d,
+        batch_stats_d=bs_d_new,
+        opt_d=opt_d,
+    )
+    return new_state, metrics
+
+
+def make_single_device_step(cfg: PipelineConfig):
+    """jit'd step for one device (also used by CPU tests)."""
+
+    @partial(jax.jit, static_argnames=("use_skips",))
+    def step(state, batch, use_skips):
+        return _train_step(
+            state, batch, cfg=cfg, use_skips=use_skips, axis_name=None
+        )
+
+    return step
+
+
+def make_data_parallel_step(cfg: PipelineConfig, mesh):
+    """shard_map'd step over the `data` mesh axis.
+
+    Params/opt-state replicated, batch sharded on its leading axis. Gradients,
+    masked-loss reductions and BN moments are psum/pmean'd inside, so results
+    are identical to single-device training on the global batch.
+    """
+
+    batch_specs = {
+        "image": shard_batch_spec(4),
+        "face_mask": shard_batch_spec(3),
+        "depth_gt": shard_batch_spec(3),
+        "depth_mask": shard_batch_spec(3),
+        "albedo_gt": shard_batch_spec(3),
+        "light_gt": shard_batch_spec(2),
+    }
+
+    def make(use_skips):
+        def local_step(state, batch):
+            return _train_step(
+                state, batch, cfg=cfg, use_skips=use_skips, axis_name=DATA_AXIS
+            )
+
+        sharded = shard_map_fn(
+            local_step,
+            mesh,
+            in_specs=(P(), batch_specs),
+            out_specs=(P(), P()),
+        )
+        return jax.jit(sharded)
+
+    cache: Dict[Tuple[bool, ...], Any] = {}
+
+    def step(state, batch, use_skips):
+        key = tuple(use_skips)
+        if key not in cache:
+            cache[key] = make(key)
+        return cache[key](state, batch)
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Trainer driver
+# ---------------------------------------------------------------------------
+
+
+class Trainer:
+    """Epoch loop: shuffling, GD alternation, metrics, checkpoints, resume."""
+
+    def __init__(
+        self,
+        cfg: Optional[PipelineConfig] = None,
+        data=None,
+        mesh=None,
+        workdir: str = "runs/train",
+        profile: bool = False,
+    ):
+        self.cfg = cfg or preset_target_lighting_train()
+        self.data = data
+        self.workdir = workdir
+        self.profile = profile
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n_dev = self.mesh.devices.size
+        if n_dev > 1:
+            self.step_fn = make_data_parallel_step(self.cfg, self.mesh)
+        else:
+            self.step_fn = make_single_device_step(self.cfg)
+        self.metrics_log: list = []
+
+    def init_or_resume(self, rng: Optional[jax.Array] = None) -> TrainState:
+        from geomconsistentfr_tpu.utils import checkpoint as ckpt
+
+        latest = ckpt.latest_step_dir(
+            os.path.join(self.workdir, self.cfg.train.checkpoint_dir)
+        )
+        state = init_state(
+            self.cfg,
+            rng if rng is not None else jax.random.PRNGKey(self.cfg.train.seed),
+        )
+        if latest is not None:
+            state = ckpt.restore_variables(latest, template=jax.device_get(state))
+            state = jax.tree.map(jnp.asarray, state)
+        return state
+
+    def save(self, state: TrainState) -> str:
+        from geomconsistentfr_tpu.utils import checkpoint as ckpt
+
+        step = int(jax.device_get(state.step))
+        path = os.path.join(
+            self.workdir, self.cfg.train.checkpoint_dir, f"step_{step:08d}"
+        )
+        ckpt.save_variables(path, state)
+        return path
+
+    def run_epoch(self, state: TrainState, epoch: int, rng: np.random.Generator):
+        """One epoch: cfg.train.batches_per_epoch random batches (:606-607)."""
+        tcfg = self.cfg.train
+        use_skips = self.cfg.model.skip_gates(epoch)
+        sums: Dict[str, float] = {}
+        t0 = time.time()
+        for j in range(tcfg.batches_per_epoch):
+            batch = self.data.sample_batch(rng, tcfg.batch_size)
+            state, metrics = self.step_fn(state, batch, use_skips)
+            if (j + 1) % tcfg.log_every_steps == 0:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                for k, v in m.items():
+                    sums[k] = sums.get(k, 0.0) + v
+        elapsed = time.time() - t0
+        avg = {k: v / tcfg.batches_per_epoch for k, v in sums.items()}
+        avg["epoch"] = epoch
+        avg["seconds"] = elapsed
+        self.metrics_log.append(avg)
+        self._export_metrics(epoch, avg)
+        return state, avg
+
+    def _export_metrics(self, epoch: int, avg: Dict[str, float]) -> None:
+        """CSV + reference-compatible .mat export (train_*.py:671-683)."""
+        os.makedirs(os.path.join(self.workdir, "losses"), exist_ok=True)
+        csv_path = os.path.join(self.workdir, "losses", "metrics.csv")
+        write_header = not os.path.exists(csv_path)
+        keys = sorted(avg)
+        with open(csv_path, "a") as f:
+            if write_header:
+                f.write(",".join(keys) + "\n")
+            f.write(",".join(str(avg[k]) for k in keys) + "\n")
+        try:
+            import scipy.io
+
+            scipy.io.savemat(
+                os.path.join(self.workdir, "losses", f"losses_epoch{epoch}.mat"),
+                {k: v for k, v in avg.items()},
+            )
+        except Exception:
+            pass

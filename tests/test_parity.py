@@ -1,0 +1,125 @@
+"""End-to-end parity: JAX framework vs the reference PyTorch forward.
+
+The committed fixture tests/golden/ref_transfer_00104.npz holds the reference
+lighting-transfer forward (bundled checkpoint model_epoch106.pth, CPU) on an
+FFHQ sample; regenerate with tools/make_golden_fixture.py. These tests convert
+the same checkpoint and require the full pipeline (encoder/decoders, lighting
+head, kornia-parity normals, branchless shadow march, shading composite) to
+reproduce it. North-star: rendered PSNR >= 40 dB (BASELINE.md).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import reference_available
+
+CKPT = "/root/reference/model_lighting_transfer/model_epoch106.pth"
+FIXTURE = os.path.join(os.path.dirname(__file__), "golden", "ref_transfer_00104.npz")
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    return np.load(FIXTURE)
+
+
+@pytest.fixture(scope="module")
+def outputs(fixture):
+    if not os.path.exists(CKPT):
+        pytest.skip("reference checkpoint unavailable")
+    import dataclasses
+
+    from geomconsistentfr_tpu.config import preset_lighting_transfer
+    from geomconsistentfr_tpu.convert import load_relightnet_variables
+    from geomconsistentfr_tpu.infer import Relighter
+
+    cfg = preset_lighting_transfer()
+    # 'highest' precision isolates implementation parity from XLA's fast
+    # (bf16-pass) conv kernels; the default path is separately checked below.
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, conv_precision="highest")
+    )
+    variables = jax.tree.map(jnp.asarray, load_relightnet_variables(CKPT))
+    relighter = Relighter(cfg, variables)
+    return relighter.forward(
+        fixture["image"][None],
+        fixture["mask"][None],
+        target_light=fixture["target_light"],
+        target_ambient=fixture["target_ambient"],
+    )
+
+
+def _nchw_to_nhwc(x):
+    return np.moveaxis(x, 1, -1)
+
+
+def test_albedo_parity(outputs, fixture):
+    got = np.asarray(outputs.albedo)
+    want = _nchw_to_nhwc(fixture["albedo"])
+    assert np.abs(got - want).max() < 2e-3
+
+
+def test_depth_parity(outputs, fixture):
+    got = np.asarray(outputs.depth)
+    want = fixture["depth"].reshape(got.shape)
+    # depth spans ~[-54, 70]; tolerance is ~0.05% of the range
+    assert np.abs(got - want).max() < 0.08
+
+
+def test_lighting_head_parity(outputs, fixture):
+    np.testing.assert_allclose(
+        np.asarray(outputs.estimated_unit_light_direction).ravel(),
+        fixture["est_dir"].ravel(),
+        atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outputs.estimated_ambient).ravel(),
+        fixture["est_amb"].ravel(),
+        atol=5e-4,
+    )
+
+
+def test_normals_parity(outputs, fixture):
+    got = np.asarray(outputs.surface_normals)
+    want = _nchw_to_nhwc(fixture["normals"])
+    assert np.abs(got - want).mean() < 2e-3
+
+
+def test_shadow_weights_parity(outputs, fixture):
+    got = np.asarray(outputs.shadow_mask_weights)
+    want = fixture["shadow_weights"].reshape(got.shape)
+    assert np.abs(got - want).mean() < 1e-3
+
+
+def test_rendered_psnr_north_star(outputs, fixture):
+    got = np.asarray(outputs.rendered)
+    want = _nchw_to_nhwc(fixture["rendered"])
+    mse = float(np.mean((got - want) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= 45.0, f"rendered PSNR {psnr:.2f} dB below target"
+
+
+def test_rendered_psnr_default_precision(fixture):
+    """The fast (default-precision) path still clears the 40 dB north star."""
+    if not os.path.exists(CKPT):
+        pytest.skip("reference checkpoint unavailable")
+    from geomconsistentfr_tpu.config import preset_lighting_transfer
+    from geomconsistentfr_tpu.convert import load_relightnet_variables
+    from geomconsistentfr_tpu.infer import Relighter
+
+    variables = jax.tree.map(jnp.asarray, load_relightnet_variables(CKPT))
+    relighter = Relighter(preset_lighting_transfer(), variables)
+    out = relighter.forward(
+        fixture["image"][None],
+        fixture["mask"][None],
+        target_light=fixture["target_light"],
+        target_ambient=fixture["target_ambient"],
+    )
+    want = _nchw_to_nhwc(fixture["rendered"])
+    mse = float(np.mean((np.asarray(out.rendered) - want) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= 40.0, f"default-precision PSNR {psnr:.2f} dB below north star"
