@@ -1,0 +1,84 @@
+"""Benchmark: relit 256x256 images/sec/chip (full forward incl. shadow march).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference implementation's CPU throughput measured on this VM
+(BENCH_CPU_REF.json; torch-CPU forward of the bundled checkpoint, 67.4 s/img).
+The driver north star is >=50x that, so vs_baseline = ours / (50 * cpu_ref):
+vs_baseline >= 1.0 means the north star is met.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.render import render
+
+    cfg = preset_single_image()
+    model = RelightNet(cfg=cfg.model)
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (batch, 256, 256, 3)), jnp.float32)
+    masks = jnp.asarray(
+        (rng.uniform(0, 1, (batch, 256, 256)) > 0.2).astype(np.float32)
+    )
+    lights = jnp.tile(
+        jnp.asarray([[0.3, 0.4, 0.8660254]], jnp.float32), (batch, 1)
+    )
+
+    variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
+
+    @jax.jit
+    def forward(variables, images, masks, lights):
+        net = model.apply(variables, images, train=False)
+        out = render(
+            net.albedo, net.depth, net.lighting, masks, cfg.render,
+            target_light=lights,
+        )
+        return out.rendered
+
+    # Warm up (compile) then time steady state.
+    forward(variables, images, masks, lights).block_until_ready()
+    forward(variables, images, masks, lights).block_until_ready()
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, images, masks, lights)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    imgs_per_sec = batch * iters / elapsed
+
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_CPU_REF.json")) as f:
+        ref = json.load(f)
+    target = ref["north_star_multiplier"] * ref["cpu_reference_imgs_per_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "relight_throughput",
+                "value": round(imgs_per_sec, 3),
+                "unit": "images/sec/chip (256x256 full forward, 160-sample shadow march)",
+                "vs_baseline": round(imgs_per_sec / target, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

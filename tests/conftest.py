@@ -7,7 +7,14 @@ TPU hardware; the driver separately compile-checks the TPU paths.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment pins JAX_PLATFORMS=axon (TPU); tests force CPU for
+# determinism and so the 8-device virtual mesh is available. Set
+# GCFR_TEST_PLATFORM=axon to run the suite on the real chip instead.
+os.environ["JAX_PLATFORMS"] = os.environ.get("GCFR_TEST_PLATFORM", "cpu")
+if os.environ["JAX_PLATFORMS"] == "cpu":
+    # The axon TPU plugin registers from sitecustomize before conftest runs,
+    # gated on this variable; it must be cleared in subprocesses we spawn.
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
