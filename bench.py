@@ -44,23 +44,24 @@ def main() -> None:
     variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
 
     @jax.jit
-    def forward(variables, images, masks, lights):
-        net = model.apply(variables, images, train=False)
+    def forward(variables, images, masks, lights, salt):
+        net = model.apply(variables, images + salt * 1e-7, train=False)
         out = render(
             net.albedo, net.depth, net.lighting, masks, cfg.render,
             target_light=lights,
         )
-        return out.rendered
+        # Scalar reduction: forces real device execution even on transports
+        # where block_until_ready returns before completion (axon tunnel),
+        # while keeping the device->host transfer negligible.
+        return out.rendered.sum()
 
-    # Warm up (compile) then time steady state.
-    forward(variables, images, masks, lights).block_until_ready()
-    forward(variables, images, masks, lights).block_until_ready()
+    # Warm up (compile) then time steady state; salt defeats any result reuse.
+    float(forward(variables, images, masks, lights, jnp.float32(0)))
 
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(variables, images, masks, lights)
-    out.block_until_ready()
+    for i in range(iters):
+        float(forward(variables, images, masks, lights, jnp.float32(i + 1)))
     elapsed = time.perf_counter() - t0
     imgs_per_sec = batch * iters / elapsed
 

@@ -1,0 +1,289 @@
+"""Command-line interface: one tool replacing the reference's five scripts.
+
+  relight        test_relight_single_image.py        (target light, 1 image)
+  sweep          18-light relight of one image (vmapped renderer)
+  transfer       test_relight_single_image_lighting_transfer.py (2-pass)
+  eval-multipie  test_raytracing_relighting_CelebAHQ_DSSIM_8x.py + the MATLAB
+                 DSSIM/MSE and LPIPS harnesses, in one command
+  train          train_raytracing_relighting_CelebAHQ_DSSIM_8x.py /
+                 train_lighting_transfer.py
+  convert        reference .pth -> orbax checkpoint
+  fix-border     fix_border_artifacts_CVPR2022.m
+  build-cache    pack the reference MP_data layout into streaming memmaps
+
+Unlike the reference (constants hard-coded in class bodies; see config.py),
+every behavioural constant is a preset or flag.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--checkpoint", required=True, help=".pth file or orbax dir")
+    p.add_argument(
+        "--preset",
+        default=None,
+        help="pipeline preset (default: inferred per command)",
+    )
+    p.add_argument("--out", default="outputs", help="output directory")
+
+
+def _relighter(args, default_preset: str):
+    from geomconsistentfr_tpu.config import PRESETS
+    from geomconsistentfr_tpu.infer import load_relighter
+
+    cfg = PRESETS[args.preset or default_preset]()
+    return load_relighter(args.checkpoint, cfg=cfg)
+
+
+def _parse_light(args):
+    import numpy as np
+
+    from geomconsistentfr_tpu.lighting_presets import DEFAULT_AMBIENT, LIGHT_PRESETS
+
+    if args.light_preset:
+        direction = LIGHT_PRESETS[args.light_preset]
+    else:
+        direction = tuple(float(v) for v in args.light.split(","))
+        assert len(direction) == 3, "--light expects lx,ly,lz"
+    ambient = args.ambient if args.ambient is not None else DEFAULT_AMBIENT
+    return np.asarray([direction], np.float32), np.asarray([ambient], np.float32)
+
+
+def cmd_relight(args) -> int:
+    import numpy as np
+
+    from geomconsistentfr_tpu.utils.io import (
+        composite_into_original,
+        read_image,
+        read_mask,
+        save_render_outputs,
+        write_image,
+    )
+
+    rl = _relighter(args, "single_image")
+    img = read_image(args.image)
+    mask = read_mask(args.mask)
+    light, ambient = _parse_light(args)
+    out = rl.forward(img[None], mask[None], target_light=light, target_ambient=ambient)
+    stem = os.path.splitext(os.path.basename(args.image))[0]
+    paths = save_render_outputs(args.out, stem, out, mask)
+    composited = composite_into_original(img, np.asarray(out.rendered[0]), mask)
+    if args.fix_border:
+        from geomconsistentfr_tpu.postprocess import fix_border_artifacts
+
+        composited = fix_border_artifacts(composited, mask)
+    write_image(os.path.join(args.out, f"{stem}_composited.png"), composited)
+    print(json.dumps({"outputs": paths, "composited": f"{stem}_composited.png"}))
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    import numpy as np
+
+    from geomconsistentfr_tpu.lighting_presets import DEFAULT_AMBIENT, LIGHT_PRESETS
+    from geomconsistentfr_tpu.utils.io import read_image, read_mask, write_image
+
+    rl = _relighter(args, "single_image")
+    img = read_image(args.image)
+    mask = read_mask(args.mask)
+    names = list(LIGHT_PRESETS)
+    lights = np.asarray([LIGHT_PRESETS[n] for n in names], np.float32)
+    ambients = np.full((len(names),), DEFAULT_AMBIENT, np.float32)
+    out = rl.relight_sweep(img, mask, lights, ambients)
+    stem = os.path.splitext(os.path.basename(args.image))[0]
+    mask3 = np.repeat(mask[..., None], 3, axis=-1)
+    for i, name in enumerate(names):
+        write_image(
+            os.path.join(args.out, f"{stem}_{name}.png"),
+            np.asarray(out.rendered[i]) * mask3,
+        )
+    print(json.dumps({"num_lights": len(names), "out": args.out}))
+    return 0
+
+
+def cmd_transfer(args) -> int:
+    from geomconsistentfr_tpu.utils.io import read_image, read_mask, save_render_outputs
+
+    rl = _relighter(args, "lighting_transfer")
+    img = read_image(args.input)
+    ref = read_image(args.reference)
+    mask = read_mask(args.mask)
+    out = rl.transfer_lighting(img[None], ref[None], mask[None])
+    stem = os.path.splitext(os.path.basename(args.input))[0]
+    paths = save_render_outputs(args.out, stem, out, mask)
+    print(json.dumps({"outputs": paths}))
+    return 0
+
+
+def cmd_eval_multipie(args) -> int:
+    from geomconsistentfr_tpu.metrics.eval_multipie import (
+        evaluate_output_dir,
+        run_inference,
+    )
+
+    rl = _relighter(args, "multipie_eval")
+    root = args.data_root
+    n = run_inference(
+        rl,
+        input_dir=os.path.join(root, "input_images_MP_18_lightings"),
+        gt_dir=os.path.join(root, "groundtruth_images_MP_18_lightings"),
+        lighting_mat=os.path.join(root, "MP_lighting_directions.mat"),
+        mask_fill_nose_dir=os.path.join(root, "MP_depth_masks_fill_nose"),
+        output_dir=args.out,
+        limit=args.limit,
+    )
+    metrics = evaluate_output_dir(
+        args.out,
+        os.path.join(root, "groundtruth_images_MP_18_lightings"),
+        os.path.join(root, "MP_depth_masks_fill_nose"),
+    )
+    metrics["num_inferred"] = n
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_train(args) -> int:
+    import numpy as np
+
+    from geomconsistentfr_tpu.config import PRESETS
+    from geomconsistentfr_tpu.train import Trainer
+
+    cfg = PRESETS[args.preset or "target_lighting_train"]()
+    if args.data == "synthetic":
+        from geomconsistentfr_tpu.data import SyntheticFaceData
+
+        data = SyntheticFaceData(num_samples=args.synthetic_samples)
+    else:
+        from geomconsistentfr_tpu.data import CelebAHQRelightingData
+
+        data = CelebAHQRelightingData(args.data)
+    trainer = Trainer(cfg, data=data, workdir=args.out)
+    state = trainer.init_or_resume()
+    rng = np.random.default_rng(cfg.train.seed)
+    start_epoch = int(state.step) // cfg.train.batches_per_epoch
+    for epoch in range(start_epoch, args.epochs):
+        state, metrics = trainer.run_epoch(state, epoch, rng)
+        trainer.save(state)
+        print(json.dumps(metrics))
+    return 0
+
+
+def cmd_convert(args) -> int:
+    import jax
+
+    from geomconsistentfr_tpu.convert import load_relightnet_variables
+    from geomconsistentfr_tpu.utils.checkpoint import save_variables
+
+    variables = load_relightnet_variables(args.pth)
+    save_variables(args.out, variables)
+    n = sum(x.size for x in jax.tree.leaves(variables))
+    print(json.dumps({"out": args.out, "num_values": int(n)}))
+    return 0
+
+
+def cmd_fix_border(args) -> int:
+    import imageio.v2 as imageio
+    import numpy as np
+
+    from geomconsistentfr_tpu.postprocess import fix_border_artifacts
+    from geomconsistentfr_tpu.utils.io import read_mask
+
+    img = np.asarray(imageio.imread(args.image))
+    mask = read_mask(args.mask)
+    fixed = fix_border_artifacts(img, mask)
+    out = args.out_image or args.image
+    imageio.imwrite(out, fixed.astype(np.uint8))
+    print(json.dumps({"out": out}))
+    return 0
+
+
+def cmd_build_cache(args) -> int:
+    from geomconsistentfr_tpu.data import build_cache
+
+    n = build_cache(args.src, args.out, limit=args.limit)
+    print(json.dumps({"num_samples": n, "cache": args.out}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+                   run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="geomconsistentfr_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("relight", help="relight one image with a target light")
+    _add_common_model_args(p)
+    p.add_argument("--image", required=True)
+    p.add_argument("--mask", required=True)
+    p.add_argument("--light", default=None, help="lx,ly,lz")
+    p.add_argument("--light-preset", default=None)
+    p.add_argument("--ambient", type=float, default=None)
+    p.add_argument("--fix-border", action="store_true")
+    p.set_defaults(fn=cmd_relight)
+
+    p = sub.add_parser("sweep", help="relight one image under all presets")
+    _add_common_model_args(p)
+    p.add_argument("--image", required=True)
+    p.add_argument("--mask", required=True)
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("transfer", help="2-pass lighting transfer")
+    _add_common_model_args(p)
+    p.add_argument("input")
+    p.add_argument("reference")
+    p.add_argument("mask")
+    p.set_defaults(fn=cmd_transfer)
+
+    p = sub.add_parser("eval-multipie", help="862-image benchmark protocol")
+    _add_common_model_args(p)
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--limit", type=int, default=None)
+    p.set_defaults(fn=cmd_eval_multipie)
+
+    p = sub.add_parser("train", help="self-supervised GAN training")
+    p.add_argument("--preset", default=None)
+    p.add_argument("--data", default="synthetic", help="cache dir or 'synthetic'")
+    p.add_argument("--synthetic-samples", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--out", default="runs/train")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("convert", help=".pth -> orbax checkpoint")
+    p.add_argument("--pth", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("fix-border", help="border-artifact median fix")
+    p.add_argument("--image", required=True)
+    p.add_argument("--mask", required=True)
+    p.add_argument("--out-image", default=None)
+    p.set_defaults(fn=cmd_fix_border)
+
+    p = sub.add_parser("build-cache", help="pack MP_data into memmaps")
+    p.add_argument("--src", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--limit", type=int, default=None)
+    p.set_defaults(fn=cmd_build_cache)
+
+    p = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -94,6 +94,12 @@ class RenderConfig:
     # Use the fused Pallas kernel for the shadow march when running on TPU.
     use_pallas_shadows: bool = True
 
+    # MXU precision inside the Pallas shadow kernel's gather-matmuls:
+    # 'highest' = true float32 (bit-close parity), 'default' = fast bf16
+    # passes (~1e-3 relative depth-sample error; shadow weights saturate, so
+    # the rendered-image impact is far below the 40 dB north-star budget).
+    shadow_matmul_precision: str = "highest"
+
     @property
     def half_w(self) -> float:
         return self.img_width / 2.0

@@ -1,0 +1,120 @@
+"""The 862-image Multi-PIE-relit CelebA-HQ evaluation protocol, end to end.
+
+Replaces the reference's three-tool pipeline (inference dump from
+test_raytracing_relighting_CelebAHQ_DSSIM_8x.py:603-608, then MATLAB
+DSSIM_MP_RGB.m / MSE_MP.m and PerceptualSimilarity/test_network.py over the
+dumped PNGs) with a single Python harness:
+
+  1. `run_inference` relights each input with its target Multi-PIE lighting
+     (index parsed from the GT filename, test_raytracing_...py:525-527) and
+     writes the same six-files-per-image directory layout;
+  2. `evaluate_output_dir` scores rendered-vs-GT with masked MSE, masked
+     MATLAB-parity DSSIM, PSNR, and (when LPIPS weights are available)
+     masked spatial LPIPS — same file-stride convention (rendered image is
+     the 3rd of 6 sorted outputs: DSSIM_MP_RGB.m:3-4, test_network.py:23-24).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from geomconsistentfr_tpu.metrics.image_metrics import (
+    masked_dssim_matlab,
+    masked_mse,
+    psnr,
+)
+
+
+def evaluate_output_dir(
+    output_dir: str,
+    gt_dir: str,
+    mask_dir: str,
+    lpips_fn=None,
+) -> Dict[str, float]:
+    """Score a 6-files-per-image inference dump against ground truth."""
+    import imageio.v2 as imageio
+
+    outputs = sorted(os.listdir(output_dir))
+    rendered = outputs[2::6]  # 3rd of each 6-file group (sorted): *_rendered_image
+    gts = sorted(os.listdir(gt_dir))
+    masks = sorted(os.listdir(mask_dir))
+    assert len(rendered) == len(gts) == len(masks), (
+        len(rendered), len(gts), len(masks),
+    )
+
+    mses, dssims, psnrs, lpipss = [], [], [], []
+    for pred_name, gt_name, mask_name in zip(rendered, gts, masks):
+        pred = np.asarray(
+            imageio.imread(os.path.join(output_dir, pred_name)), np.float64
+        ) / 255.0
+        gt = np.asarray(imageio.imread(os.path.join(gt_dir, gt_name)), np.float64) / 255.0
+        mask = np.asarray(
+            imageio.imread(os.path.join(mask_dir, mask_name)), np.float64
+        )
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        mask = mask / 255.0
+
+        mses.append(masked_mse(pred, gt, mask))
+        dssims.append(masked_dssim_matlab(pred, gt, mask))
+        psnrs.append(psnr(pred * mask[..., None], gt * mask[..., None]))
+        if lpips_fn is not None:
+            # test_network.py:46-48: masked spatial mean with >0 denominator.
+            dist_map = lpips_fn(gt, pred)  # (H, W)
+            num = float(np.sum(mask * dist_map))
+            den = float(np.sum((mask * dist_map) > 0))
+            lpipss.append(num / max(den, 1.0))
+
+    result = {
+        "masked_mse_mean": float(np.mean(mses)),
+        "masked_dssim_mean": float(np.mean(dssims)),
+        "masked_psnr_mean": float(np.mean(psnrs)),
+        "num_images": float(len(mses)),
+    }
+    if lpipss:
+        result["masked_lpips_mean"] = float(np.mean(lpipss))
+        result["masked_lpips_std"] = float(np.std(lpipss))
+    return result
+
+
+def run_inference(
+    relighter,
+    input_dir: str,
+    gt_dir: str,
+    lighting_mat: str,
+    mask_fill_nose_dir: str,
+    output_dir: str,
+    limit: Optional[int] = None,
+    batch_size: int = 8,
+) -> int:
+    """Relight the MP eval set and dump six PNGs per image (reference layout).
+
+    Target lighting comes from MP_lighting_directions.mat row parsed from the
+    GT filename (test_raytracing_...py:525-527); ambient defaults to 0.5 and
+    the model's estimated ambient is used at render time per the
+    multipie_eval preset (ambient_mode='estimated').
+    """
+    import imageio.v2 as imageio
+    import scipy.io
+
+    from geomconsistentfr_tpu.utils.io import read_image, read_mask, save_render_outputs
+
+    inputs = sorted(os.listdir(input_dir))
+    gts = sorted(os.listdir(gt_dir))
+    masks = sorted(os.listdir(mask_fill_nose_dir))
+    directions = scipy.io.loadmat(lighting_mat)["lighting_directions"]
+    n = len(inputs) if limit is None else min(limit, len(inputs))
+
+    os.makedirs(output_dir, exist_ok=True)
+    for i in range(n):
+        img = read_image(os.path.join(input_dir, inputs[i]))
+        mask = read_mask(os.path.join(mask_fill_nose_dir, masks[i]))
+        idx = int(gts[i].split(".")[0].split("_")[-1]) - 1
+        light = np.asarray(directions[idx], np.float32)[None]
+        out = relighter.forward(img[None], mask[None], target_light=light)
+        stem = inputs[i].split(".")[0]
+        save_render_outputs(output_dir, stem, out, mask)
+    return n

@@ -37,6 +37,13 @@ from geomconsistentfr_tpu.ops.shading import (
 Array = jax.Array
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 class RenderOutputs(NamedTuple):
     """Superset of all tensors the reference forwards return (:505, :514, :524)."""
 
@@ -133,9 +140,16 @@ def render(
     ambient_map = jnp.broadcast_to(ambient[:, None, None], depth.shape)
     full_shading = ambient_map + directional
 
-    min_distance = shadows_ops.ray_march_min_distance_batch(
-        depth, mask, light_point, cfg
-    )
+    if cfg.use_pallas_shadows and _on_tpu():
+        from geomconsistentfr_tpu.ops.shadows_pallas import (
+            ray_march_min_distance_pallas,
+        )
+
+        min_distance = ray_march_min_distance_pallas(depth, mask, light_point, cfg)
+    else:
+        min_distance = shadows_ops.ray_march_min_distance_batch(
+            depth, mask, light_point, cfg
+        )
     weights = shadow_weights(min_distance)
     final_shading, rendered = composite(albedo, full_shading, ambient_map, weights)
 

@@ -1,0 +1,84 @@
+"""Metrics and postprocess tests vs independent oracles."""
+
+import numpy as np
+
+from geomconsistentfr_tpu.metrics.image_metrics import (
+    masked_dssim_matlab,
+    masked_mse,
+    matlab_ssim_map,
+    psnr,
+)
+from geomconsistentfr_tpu.postprocess import fix_border_artifacts
+
+
+def test_masked_mse_protocol():
+    rng = np.random.default_rng(0)
+    pred = rng.uniform(size=(16, 16, 3))
+    gt = rng.uniform(size=(16, 16, 3))
+    mask = (rng.uniform(size=(16, 16)) > 0.4).astype(np.float64)
+    got = masked_mse(pred, gt, mask)
+    want = np.sum(
+        np.abs(pred * mask[..., None] - gt * mask[..., None]) ** 2
+    ) / (3 * mask.sum())
+    assert abs(got - want) < 1e-12
+
+
+def test_matlab_ssim_identity():
+    rng = np.random.default_rng(1)
+    x = rng.uniform(size=(32, 32, 3))
+    np.testing.assert_allclose(matlab_ssim_map(x, x), 1.0, atol=1e-9)
+    assert abs(masked_dssim_matlab(x, x, np.ones((32, 32)))) < 1e-9
+
+
+def test_matlab_ssim_degrades_with_noise():
+    rng = np.random.default_rng(2)
+    x = rng.uniform(size=(32, 32, 3))
+    y1 = np.clip(x + 0.01 * rng.normal(size=x.shape), 0, 1)
+    y2 = np.clip(x + 0.2 * rng.normal(size=x.shape), 0, 1)
+    m = np.ones((32, 32))
+    d1 = masked_dssim_matlab(x, y1, m)
+    d2 = masked_dssim_matlab(x, y2, m)
+    assert 0 < d1 < d2 < 0.5
+
+
+def test_psnr():
+    x = np.zeros((8, 8, 3))
+    y = np.full((8, 8, 3), 0.1)
+    assert abs(psnr(x, y) - 20.0) < 1e-6
+
+
+def test_fix_border_artifacts_median_semantics():
+    from scipy import ndimage
+
+    rng = np.random.default_rng(3)
+    img = (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8)
+    mask = np.zeros((32, 32))
+    mask[8:24, 8:24] = 1.0
+
+    out = fix_border_artifacts(img, mask)
+
+    # Replaced pixels equal the 3x3 zero-padded median (MATLAB medfilt2).
+    med = np.stack(
+        [
+            ndimage.median_filter(
+                img[..., c].astype(np.float64), size=3, mode="constant", cval=0
+            )
+            for c in range(3)
+        ],
+        axis=-1,
+    )
+    conv = ndimage.correlate(
+        mask, np.ones((7, 7)), mode="constant", cval=0.0
+    )
+    border = (conv > 0) & (conv < 30)
+    assert border.any()
+    np.testing.assert_array_equal(out[border], med.astype(np.uint8)[border])
+    np.testing.assert_array_equal(out[~border], img[~border])
+
+
+def test_fix_border_no_mask_is_identity():
+    rng = np.random.default_rng(4)
+    img = (rng.uniform(size=(16, 16, 3)) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(
+        fix_border_artifacts(img, np.zeros((16, 16))), img
+    )

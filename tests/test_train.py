@@ -1,0 +1,130 @@
+"""Training-step smoke + semantics tests (CPU, tiny shapes)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from geomconsistentfr_tpu.config import preset_target_lighting_train
+from geomconsistentfr_tpu import train as train_mod
+
+
+def _tiny_cfg(batch):
+    cfg = preset_target_lighting_train()
+    return dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render,
+            img_height=32,
+            img_width=32,
+            num_sample_points=16,
+            t_stop=0.105,
+            march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+        train=dataclasses.replace(cfg.train, batch_size=batch),
+    )
+
+
+def _batch(rng, b, s):
+    return {
+        "image": rng.uniform(0, 1, (b, s, s, 3)).astype(np.float32),
+        "face_mask": np.ones((b, s, s), np.float32),
+        "depth_gt": rng.normal(size=(b, s, s)).astype(np.float32),
+        "depth_mask": np.ones((b, s, s), np.float32),
+        "albedo_gt": rng.uniform(0, 1, (b, s, s)).astype(np.float32),
+        "light_gt": np.tile(np.asarray([[0.0, 0.7071, 0.7071]], np.float32), (b, 1)),
+    }
+
+
+@pytest.fixture(scope="module")
+def stepped():
+    cfg = _tiny_cfg(batch=2)
+    state = train_mod.init_state(cfg, jax.random.PRNGKey(0))
+    step = train_mod.make_single_device_step(cfg)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng, 2, 32)
+    state0 = state
+    state1, m1 = step(state0, batch, (False, False, False, False))
+    state2, m2 = step(state1, batch, (False, False, False, False))
+    return cfg, state0, state1, state2, m1, m2
+
+
+def test_losses_finite_and_positive(stepped):
+    _, _, _, _, m1, m2 = stepped
+    for k, v in m1.items():
+        assert np.isfinite(float(v)), k
+    assert float(m1["total"]) > 0
+
+
+def test_generator_updates_every_step(stepped):
+    _, s0, s1, s2, _, _ = stepped
+    l0 = jax.tree.leaves(s0.params_g)[0]
+    l1 = jax.tree.leaves(s1.params_g)[0]
+    l2 = jax.tree.leaves(s2.params_g)[0]
+    assert not np.allclose(l0, l1)
+    assert not np.allclose(l1, l2)
+
+
+def test_discriminator_gd_ratio(stepped):
+    """D params update on step 0 (0 % 5 == 0) but NOT on step 1."""
+    _, s0, s1, s2, _, _ = stepped
+
+    def flat(p):
+        return np.concatenate([np.ravel(x) for x in jax.tree.leaves(p)])
+
+    assert not np.allclose(flat(s0.params_d), flat(s1.params_d))  # step 0: update
+    np.testing.assert_allclose(flat(s1.params_d), flat(s2.params_d))  # step 1: hold
+
+
+def test_batch_stats_update_every_step(stepped):
+    _, s0, s1, s2, _, _ = stepped
+
+    def flat(p):
+        return np.concatenate([np.ravel(x) for x in jax.tree.leaves(p)])
+
+    assert not np.allclose(flat(s0.batch_stats_g), flat(s1.batch_stats_g))
+    assert not np.allclose(flat(s1.batch_stats_d), flat(s2.batch_stats_d))
+
+
+def test_data_parallel_matches_single_device():
+    """2-device shard_map step == single-device step on the global batch."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from geomconsistentfr_tpu.parallel.mesh import make_mesh, device_put_sharded_batch
+
+    cfg = _tiny_cfg(batch=2)
+    state = train_mod.init_state(cfg, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    batch = _batch(rng, 2, 32)
+
+    single = train_mod.make_single_device_step(cfg)
+    s_single, m_single = single(state, batch, (False, False, False, False))
+
+    mesh = make_mesh(jax.devices()[:2])
+    dp = train_mod.make_data_parallel_step(cfg, mesh)
+    sharded_batch = device_put_sharded_batch(batch, mesh)
+    s_dp, m_dp = dp(state, sharded_batch, (False, False, False, False))
+
+    for k in m_single:
+        assert abs(float(m_single[k]) - float(m_dp[k])) < 5e-4, (
+            k, float(m_single[k]), float(m_dp[k]),
+        )
+    a = jax.tree.leaves(s_single.params_g)[0]
+    b = jax.tree.leaves(s_dp.params_g)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_synthetic_data_schema():
+    from geomconsistentfr_tpu.data import SyntheticFaceData
+
+    data = SyntheticFaceData(num_samples=4, size=32)
+    rng = np.random.default_rng(0)
+    batch = data.sample_batch(rng, 2)
+    assert batch["image"].shape == (2, 32, 32, 3)
+    assert batch["depth_gt"].shape == (2, 32, 32)
+    assert batch["light_gt"].shape == (2, 3)
+    assert 0 <= batch["image"].min() and batch["image"].max() <= 1
