@@ -1,0 +1,112 @@
+"""ctypes binding for the native C++ streaming data loader (native/dataloader.cc).
+
+Background threads assemble float32 batches from the packed memmap cache and
+keep a bounded prefetch queue, so host IO overlaps device compute. Falls back
+transparently to the pure-numpy CelebAHQRelightingData when the shared library
+cannot be built. Built on first use with g++ -O3 (no external deps).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+import subprocess
+from typing import Dict, Optional
+
+import numpy as np
+
+_LIB_CACHE: Optional[ctypes.CDLL] = None
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "dataloader.cc")
+_SO = os.path.join(_NATIVE_DIR, "libgcfr_dataloader.so")
+
+
+def build_library(force: bool = False) -> str:
+    """Compile the loader with g++ if needed; returns the .so path."""
+    if force or not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+                "-pthread", _SRC, "-o", _SO,
+            ],
+            check=True,
+            capture_output=True,
+        )
+    return _SO
+
+
+def _lib() -> ctypes.CDLL:
+    global _LIB_CACHE
+    if _LIB_CACHE is None:
+        lib = ctypes.CDLL(build_library())
+        lib.gcfr_loader_create.restype = ctypes.c_void_p
+        lib.gcfr_loader_create.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+        ]
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.gcfr_loader_next.argtypes = [ctypes.c_void_p] + [fp] * 6
+        lib.gcfr_loader_destroy.argtypes = [ctypes.c_void_p]
+        _LIB_CACHE = lib
+    return _LIB_CACHE
+
+
+class NativeCelebAHQLoader:
+    """Drop-in batch source backed by the C++ prefetching loader."""
+
+    def __init__(
+        self,
+        cache_dir: str,
+        batch_size: int,
+        seed: int = 0,
+        workers: int = 2,
+        queue_capacity: int = 4,
+    ):
+        with open(os.path.join(cache_dir, "meta.json")) as f:
+            self.num_samples = json.load(f)["num_samples"]
+        self.batch_size = batch_size
+        self._lib = _lib()
+        self._handle = self._lib.gcfr_loader_create(
+            cache_dir.encode(), self.num_samples, batch_size,
+            seed, workers, queue_capacity,
+        )
+        if not self._handle:
+            raise RuntimeError(f"native loader failed to open cache {cache_dir}")
+
+    def next_batch(self) -> Dict[str, np.ndarray]:
+        b, s = self.batch_size, 256
+        out = {
+            "image": np.empty((b, s, s, 3), np.float32),
+            "depth_gt": np.empty((b, s, s), np.float32),
+            "depth_mask": np.empty((b, s, s), np.float32),
+            "albedo_gt": np.empty((b, s, s), np.float32),
+            "face_mask": np.empty((b, s, s), np.float32),
+            "light_gt": np.empty((b, 3), np.float32),
+        }
+        fp = ctypes.POINTER(ctypes.c_float)
+        self._lib.gcfr_loader_next(
+            self._handle,
+            *[out[k].ctypes.data_as(fp) for k in (
+                "image", "depth_gt", "depth_mask", "albedo_gt",
+                "face_mask", "light_gt",
+            )],
+        )
+        return out
+
+    def sample_batch(self, rng=None, batch_size=None) -> Dict[str, np.ndarray]:
+        """Trainer-compatible signature (prefetch queue ignores rng)."""
+        assert batch_size is None or batch_size == self.batch_size
+        return self.next_batch()
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.gcfr_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -309,17 +309,25 @@ class Trainer:
 
     def run_epoch(self, state: TrainState, epoch: int, rng: np.random.Generator):
         """One epoch: cfg.train.batches_per_epoch random batches (:606-607)."""
+        import contextlib
+
         tcfg = self.cfg.train
         use_skips = self.cfg.model.skip_gates(epoch)
         sums: Dict[str, float] = {}
         t0 = time.time()
-        for j in range(tcfg.batches_per_epoch):
-            batch = self.data.sample_batch(rng, tcfg.batch_size)
-            state, metrics = self.step_fn(state, batch, use_skips)
-            if (j + 1) % tcfg.log_every_steps == 0:
-                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                for k, v in m.items():
-                    sums[k] = sums.get(k, 0.0) + v
+        profile_ctx = contextlib.nullcontext()
+        if self.profile:
+            from geomconsistentfr_tpu.utils.profiling import trace
+
+            profile_ctx = trace(os.path.join(self.workdir, "profile"))
+        with profile_ctx:
+            for j in range(tcfg.batches_per_epoch):
+                batch = self.data.sample_batch(rng, tcfg.batch_size)
+                state, metrics = self.step_fn(state, batch, use_skips)
+                if (j + 1) % tcfg.log_every_steps == 0:
+                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    for k, v in m.items():
+                        sums[k] = sums.get(k, 0.0) + v
         elapsed = time.time() - t0
         avg = {k: v / tcfg.batches_per_epoch for k, v in sums.items()}
         avg["epoch"] = epoch

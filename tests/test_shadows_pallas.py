@@ -1,0 +1,69 @@
+"""Pallas shadow kernel vs the pure-JAX reference path (interpret mode, CPU).
+
+TPU-compiled parity/throughput is exercised separately (the kernel is used by
+render() on TPU and covered by the driver's bench); here the kernel algebra
+(two-hot/hat matmul gather + VPU reductions + veto + bias gate) is checked
+against ops/shadows on small configs.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from geomconsistentfr_tpu.config import RenderConfig
+from geomconsistentfr_tpu.ops import shadows as S
+from geomconsistentfr_tpu.ops import shadows_pallas as SP
+
+BASE = RenderConfig(
+    img_height=64,
+    img_width=64,
+    num_sample_points=32,
+    t_start=0.025,
+    t_stop=0.185,
+    march_chunk=32,
+)
+
+
+def _compare(cfg, lights_np, seed=0):
+    rng = np.random.default_rng(seed)
+    b = lights_np.shape[0]
+    depth = jnp.asarray(
+        rng.normal(size=(b, cfg.img_height, cfg.img_width)).astype(np.float32) * 30
+    )
+    mask = jnp.asarray(
+        (rng.uniform(size=(b, cfg.img_height, cfg.img_width)) > 0.1).astype(np.float32)
+    )
+    lights = jnp.asarray(lights_np)
+    want = np.asarray(S.ray_march_min_distance_batch(depth, mask, lights, cfg))
+    got = np.asarray(
+        SP.ray_march_min_distance_pallas(depth, mask, lights, cfg, interpret=True)
+    )
+    # Off-face sentinel positions must agree exactly; elsewhere compare values
+    # (rare knife-edge .5-rounding pixels may differ -> quantile bound).
+    big_w = want >= 1e5
+    big_g = got >= 1e5
+    assert (big_w == big_g).mean() > 0.9999
+    diff = np.abs(got - want)[~(big_w | big_g)]
+    assert np.quantile(diff, 0.9999) < 1e-3, float(diff.max())
+    assert diff.mean() < 1e-4
+
+
+def test_pallas_matches_reference_path():
+    lights = np.asarray(
+        [[0.3, 0.4, 0.866], [-0.6, 0.1, 0.79]], np.float32
+    ) * BASE.light_distance
+    _compare(BASE, lights)
+
+
+def test_pallas_bias_gates():
+    cfg = dataclasses.replace(BASE, shadow_bias_gate="inside_image")
+    lights = np.asarray([[0.0, 0.0, 10.0], [4000.0, 0.0, 600.0]], np.float32)
+    _compare(cfg, lights, seed=1)
+
+
+def test_pallas_light_inside_image():
+    lights = np.asarray([[5.0, -3.0, 20.0]], np.float32)
+    _compare(BASE, lights, seed=2)
