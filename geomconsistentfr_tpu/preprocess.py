@@ -1,0 +1,101 @@
+"""Face-crop preprocessing (reference recrop_CelebA-HQ_images.py:15-63).
+
+The reference runs the SFD detector (face_alignment package, separate conda
+env) and then applies fixed crop geometry. The detector is pluggable here —
+any (x1, y1, x2, y2) face box source works — and the geometry is reproduced
+exactly:
+  * pad the image by 50 px on every side (:24-27, boxes shift by +50)
+  * skip faces smaller than 200 px (:38-39)
+  * square crop of side 1.2 * max(w, h) centred on the box centre,
+    shifted down by 0.06 * h (:41-46)
+  * resize to 256x256 (:58)
+
+If the optional `face_alignment` package is installed, `detect_faces_sfd`
+wraps it; otherwise pass boxes explicitly (e.g. from any external detector).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+Box = Tuple[float, float, float, float]
+
+PAD = 50
+MIN_FACE = 200
+SCALE = 1.2
+CENTER_SHIFT = 0.06
+OUT_SIZE = 256
+
+
+def detect_faces_sfd(image: np.ndarray):
+    """Detect faces with the SFD detector if face_alignment is available."""
+    try:
+        import face_alignment
+        from face_alignment.detection.sfd import FaceDetector  # noqa: F401
+    except Exception as e:  # pragma: no cover - optional dependency
+        raise RuntimeError(
+            "face_alignment (SFD) is not installed in this environment; "
+            "pass face boxes to crop_face explicitly"
+        ) from e
+    fa = face_alignment.FaceAlignment(
+        face_alignment.LandmarksType.TWO_D, face_detector="sfd", device="cpu"
+    )
+    return fa.face_detector.detect_from_image(image)
+
+
+def crop_face(
+    image: np.ndarray,
+    box: Box,
+    out_size: int = OUT_SIZE,
+) -> Optional[np.ndarray]:
+    """Apply the reference crop geometry to one detected face box.
+
+    Args:
+      image: (H, W, 3) uint8/float image (unpadded original).
+      box: (x1, y1, x2, y2) in original-image coordinates.
+    Returns:
+      (out_size, out_size, 3) crop, or None when the face is below MIN_FACE.
+    """
+    import cv2
+
+    padded = np.pad(
+        image, ((PAD, PAD), (PAD, PAD), (0, 0)), mode="constant"
+    )
+    x1, y1, x2, y2 = [v + PAD for v in box]
+    w, h = x2 - x1, y2 - y1
+    if max(w, h) < MIN_FACE:
+        return None
+
+    side = SCALE * max(w, h)
+    cx = (x1 + x2) / 2.0
+    cy = (y1 + y2) / 2.0 + CENTER_SHIFT * h
+    left = int(round(cx - side / 2.0))
+    top = int(round(cy - side / 2.0))
+    side_i = int(round(side))
+
+    # Clamp to the padded canvas (extra zero-pad if the crop overruns).
+    ph, pw = padded.shape[:2]
+    pad_l = max(0, -left)
+    pad_t = max(0, -top)
+    pad_r = max(0, left + side_i - pw)
+    pad_b = max(0, top + side_i - ph)
+    if pad_l or pad_t or pad_r or pad_b:
+        padded = np.pad(
+            padded, ((pad_t, pad_b), (pad_l, pad_r), (0, 0)), mode="constant"
+        )
+        left += pad_l
+        top += pad_t
+    crop = padded[top : top + side_i, left : left + side_i]
+    return cv2.resize(crop, (out_size, out_size))
+
+
+def crop_largest_face(
+    image: np.ndarray, boxes: Sequence[Box], out_size: int = OUT_SIZE
+) -> Optional[np.ndarray]:
+    """Crop the largest detected face (the reference processes one per image)."""
+    if not boxes:
+        return None
+    areas = [max(0, b[2] - b[0]) * max(0, b[3] - b[1]) for b in boxes]
+    return crop_face(image, boxes[int(np.argmax(areas))], out_size)

@@ -22,10 +22,11 @@ def depth_to_3d(depth: torch.Tensor, camera_matrix: torch.Tensor) -> torch.Tenso
     b, _, h, w = depth.shape
     u = torch.arange(w, dtype=depth.dtype, device=depth.device)
     v = torch.arange(h, dtype=depth.dtype, device=depth.device)
-    fx = camera_matrix[:, 0, 0].reshape(b, 1, 1)
-    fy = camera_matrix[:, 1, 1].reshape(b, 1, 1)
-    cx = camera_matrix[:, 0, 2].reshape(b, 1, 1)
-    cy = camera_matrix[:, 1, 2].reshape(b, 1, 1)
+    bk = camera_matrix.shape[0]  # broadcasts over the depth batch when 1
+    fx = camera_matrix[:, 0, 0].reshape(bk, 1, 1)
+    fy = camera_matrix[:, 1, 1].reshape(bk, 1, 1)
+    cx = camera_matrix[:, 0, 2].reshape(bk, 1, 1)
+    cy = camera_matrix[:, 1, 2].reshape(bk, 1, 1)
     x = (u.reshape(1, 1, w) - cx) / fx                      # (B,1,W)
     y = (v.reshape(1, h, 1) - cy) / fy                      # (B,H,1)
     xyz = torch.stack(
