@@ -200,6 +200,40 @@ def _march_kernel(
     out_ref[0] = min_d
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def ray_march_min_distance_pallas_vjp(
+    depth: Array, mask: Array, light_point: Array, cfg: RenderConfig
+) -> Array:
+    """Differentiable wrapper: Pallas forward, pure-JAX-recompute backward.
+
+    The reference march is differentiable through depth (bilinear samples,
+    min-selection, BC z-term) and the light point; torch backprops through the
+    same graph. Pallas kernels have no AD rule, so the VJP recomputes the
+    march with ops/shadows (whose XLA gathers transpose to scatters) — exact
+    gradients, used by the training path. The forward stays fused.
+    """
+    return ray_march_min_distance_pallas(depth, mask, light_point, cfg)
+
+
+def _vjp_fwd(depth, mask, light_point, cfg):
+    out = ray_march_min_distance_pallas(depth, mask, light_point, cfg)
+    return out, (depth, mask, light_point)
+
+
+def _vjp_bwd(cfg, residuals, g):
+    depth, mask, light_point = residuals
+    _, pullback = jax.vjp(
+        lambda d, l: shadows_ref.ray_march_min_distance_batch(d, mask, l, cfg),
+        depth,
+        light_point,
+    )
+    d_depth, d_light = pullback(g)
+    return d_depth, jnp.zeros_like(mask), d_light
+
+
+ray_march_min_distance_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
 def ray_march_min_distance_pallas(
     depth: Array,
     mask: Array,

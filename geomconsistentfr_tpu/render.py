@@ -142,10 +142,12 @@ def render(
 
     if cfg.use_pallas_shadows and _on_tpu():
         from geomconsistentfr_tpu.ops.shadows_pallas import (
-            ray_march_min_distance_pallas,
+            ray_march_min_distance_pallas_vjp,
         )
 
-        min_distance = ray_march_min_distance_pallas(depth, mask, light_point, cfg)
+        min_distance = ray_march_min_distance_pallas_vjp(
+            depth, mask, light_point, cfg
+        )
     else:
         min_distance = shadows_ops.ray_march_min_distance_batch(
             depth, mask, light_point, cfg

@@ -67,3 +67,34 @@ def test_pallas_bias_gates():
 def test_pallas_light_inside_image():
     lights = np.asarray([[5.0, -3.0, 20.0]], np.float32)
     _compare(BASE, lights, seed=2)
+
+
+def test_custom_vjp_matches_pure_jax_grad(monkeypatch):
+    """Gradient through the Pallas wrapper == gradient of the pure-JAX march."""
+    import functools
+
+    import jax
+
+    monkeypatch.setattr(
+        SP,
+        "ray_march_min_distance_pallas",
+        functools.partial(SP.ray_march_min_distance_pallas.__wrapped__
+                          if hasattr(SP.ray_march_min_distance_pallas, "__wrapped__")
+                          else SP.ray_march_min_distance_pallas, interpret=True),
+    )
+    cfg = BASE
+    rng = np.random.default_rng(5)
+    depth = jnp.asarray(rng.normal(size=(1, 64, 64)).astype(np.float32) * 30)
+    mask = jnp.ones((1, 64, 64))
+    light = jnp.asarray([[0.4, 0.2, 0.89]], np.float32) * cfg.light_distance
+
+    def loss_pallas(d, l):
+        return jnp.sum(jnp.tanh(SP.ray_march_min_distance_pallas_vjp(d, mask, l, cfg)))
+
+    def loss_ref(d, l):
+        return jnp.sum(jnp.tanh(S.ray_march_min_distance_batch(d, mask, l, cfg)))
+
+    gp_d, gp_l = jax.grad(loss_pallas, argnums=(0, 1))(depth, light)
+    gr_d, gr_l = jax.grad(loss_ref, argnums=(0, 1))(depth, light)
+    np.testing.assert_allclose(np.asarray(gp_d), np.asarray(gr_d), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(gp_l), np.asarray(gr_l), atol=5e-4)
