@@ -24,11 +24,24 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    import dataclasses
+
     from geomconsistentfr_tpu.config import preset_single_image
     from geomconsistentfr_tpu.models.relightnet import RelightNet
     from geomconsistentfr_tpu.render import render
 
     cfg = preset_single_image()
+    # Production-serving mode: fast bf16 MXU passes in the shadow kernel
+    # (rendered PSNR vs the PyTorch reference stays >40 dB; the strict-f32
+    # mode used by parity tests is RenderConfig.shadow_matmul_precision
+    # ='highest'). Set BENCH_STRICT=1 to benchmark the strict mode instead.
+    if os.environ.get("BENCH_STRICT") != "1":
+        cfg = dataclasses.replace(
+            cfg,
+            render=dataclasses.replace(
+                cfg.render, shadow_matmul_precision="default"
+            ),
+        )
     model = RelightNet(cfg=cfg.model)
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))

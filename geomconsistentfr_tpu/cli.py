@@ -195,7 +195,7 @@ def cmd_fix_border(args) -> int:
     from geomconsistentfr_tpu.utils.io import read_mask
 
     img = np.asarray(imageio.imread(args.image))
-    mask = read_mask(args.mask)
+    mask = read_mask(args.mask, size=img.shape[0])
     fixed = fix_border_artifacts(img, mask)
     out = args.out_image or args.image
     imageio.imwrite(out, fixed.astype(np.uint8))

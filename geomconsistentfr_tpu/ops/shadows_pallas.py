@@ -117,15 +117,22 @@ def _march_kernel(
     denom = jnp.sqrt(bc_x * bc_x + bc_y * bc_y + bc_z * bc_z + _EPS)
 
     # Class-index iotas along a trailing axis (free reshapes to 2D for MXU).
-    cls_wf = jax.lax.broadcasted_iota(jnp.int32, (tr, w, w), 2).astype(jnp.float32)
-    cls_hf = jax.lax.broadcasted_iota(jnp.int32, (tr, w, h), 2).astype(jnp.float32)
+    # In fast mode the big (TILE, W, W) weight arrays are built in bfloat16
+    # (integers < 257 are exact in bf16; only the fractional tap weights
+    # round, ~1e-3) halving VPU vreg traffic.
+    wdt = jnp.float32 if cfg.shadow_matmul_precision == "highest" else jnp.bfloat16
+    cls_wf = jax.lax.broadcasted_iota(jnp.int32, (tr, w, w), 2).astype(wdt)
+    cls_hf = jax.lax.broadcasted_iota(jnp.int32, (tr, w, h), 2).astype(wdt)
 
     def hat(cls, coord):
         # max(0, 1 - |cls - coord|): the bilinear tap weights as one closed
         # form. Exactly equals the reference's floor/ceil two-tap weights for
         # non-integer coords (always the case after the -1e-4 shift), and the
         # clamp reproduces the clipped-edge taps.
-        return jnp.maximum(0.0, 1.0 - jnp.abs(cls - coord[..., None]))
+        c = coord.astype(cls.dtype)[..., None]
+        one = jnp.asarray(1.0, cls.dtype)
+        zero = jnp.asarray(0.0, cls.dtype)
+        return jnp.maximum(zero, one - jnp.abs(cls - c))
 
     def step(s, min_acc):
         t = ts_ref[s, 0]
@@ -146,28 +153,32 @@ def _march_kernel(
         wx = hat(cls_wf, xtc).reshape(tr * w, w)
         b = jax.lax.dot_general(
             wx,
-            depth_t,
+            depth_t.astype(wdt),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision,
         ).reshape(tr, w, h)
 
         # Hat y reduction on the VPU (lane-axis reduce -> (TILE, W)).
-        d_interp = jnp.sum(b * hat(cls_hf, ytc), axis=2)
+        d_interp = jnp.sum(b * hat(cls_hf, ytc).astype(jnp.float32), axis=2)
 
-        # Mask veto: one-hot gather of the 0/1 indicator.
+        # Mask veto: one-hot gather of the 0/1 indicator. Exact in bf16
+        # regardless of mode (single 1.0 x {0,1} product per output), so this
+        # matmul always uses the fast path.
+        one = jnp.asarray(1.0, wdt)
+        zero = jnp.asarray(0.0, wdt)
         ind_onehot = jnp.where(
-            cls_wf == xr[..., None], 1.0, 0.0
+            cls_wf == xr.astype(wdt)[..., None], one, zero
         ).reshape(tr * w, w)
         mrows = jax.lax.dot_general(
-            ind_onehot,
-            indicator_t,
+            ind_onehot.astype(jnp.bfloat16),
+            indicator_t.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=precision,
         ).reshape(tr, w, h)
         on_face = jnp.sum(
-            mrows * jnp.where(cls_hf == yr[..., None], 1.0, 0.0), axis=2
+            mrows * jnp.where(cls_hf == yr.astype(wdt)[..., None], one, zero).astype(jnp.float32),
+            axis=2,
         )
 
         # 3D point-to-line distance (:478-487), sample xy keeps the shift.
