@@ -72,23 +72,26 @@ class Relighter:
 
         @jax.jit
         def _sweep(variables, image, mask, lights, ambients):
+            # One network forward; the renderer then runs ONCE with the light
+            # axis folded into its batch axis (the reference reruns the full
+            # network per light, test_raytracing_...py:587-601).
             net = self.model.apply(
                 variables, image[None], train=False, use_skips=use_skips
             )
+            l = lights.shape[0]
 
-            def render_one(light, ambient):
-                return render(
-                    net.albedo,
-                    net.depth,
-                    net.lighting,
-                    mask[None],
-                    rcfg,
-                    target_light=light[None],
-                    target_ambient=ambient[None],
-                )
+            def tile(x):
+                return jnp.broadcast_to(x, (l, *x.shape[1:]))
 
-            out = jax.vmap(render_one)(lights, ambients)  # leading axis L, B=1
-            return jax.tree.map(lambda x: x[:, 0] if x.ndim > 1 else x, out)
+            return render(
+                tile(net.albedo),
+                tile(net.depth),
+                tile(net.lighting),
+                jnp.broadcast_to(mask[None], (l, *mask.shape)),
+                rcfg,
+                target_light=lights,
+                target_ambient=ambients,
+            )
 
         self._forward = _forward
         self._net_only = _net_only

@@ -121,6 +121,74 @@ def _bias_gate(light_x: Array, light_y: Array, cfg: RenderConfig) -> Array:
     )
 
 
+def sample_distance_at(
+    depth: Array,
+    mask: Array,
+    light_point: Array,
+    t: Array,
+    cfg: RenderConfig,
+) -> Array:
+    """Point-to-line distance of the depth sample at parametric offset t.
+
+    Args:
+      depth, mask: (H, W); light_point: (3,); t: scalar or (H, W) per-pixel
+        offset along each pixel's ray (the march evaluates min over a t grid;
+        this evaluates ONE t — used by the Pallas kernel's backward pass at
+        the argmin offset, where d(min_s f_s)/dx = d f_{s*}/dx).
+    Returns:
+      (H, W) distances (off-face samples -> 1e6). Excludes the bias gate
+      (an additive constant with zero gradient).
+    """
+    h, w = cfg.img_height, cfg.img_width
+    dtype = depth.dtype
+    xx, yy = pixel_grid_centered(h, w, dtype=dtype)
+    light_x, light_y = light_point[0], light_point[1]
+    ex, ey = border_endpoints(xx, yy, light_x, light_y, cfg)
+    bc_x = light_x - xx
+    bc_y = light_y - yy
+    bc_z = light_point[2] - depth
+    denominator = jnp.sqrt(bc_x * bc_x + bc_y * bc_y + bc_z * bc_z + _EPS)
+
+    def flat_take(values, iy, ix):
+        iy = jnp.clip(iy, 0, h - 1)
+        ix = jnp.clip(ix, 0, w - 1)
+        return jnp.take(values.reshape(-1), iy * w + ix, axis=0)
+
+    t2 = jnp.broadcast_to(jnp.asarray(t, dtype), (h, w))
+    sx = xx + t2 * (ex - xx)
+    sy = yy + t2 * (ey - yy)
+
+    ix_r = (jnp.round(sx) + cfg.half_w).astype(jnp.int32)
+    iy_r = (cfg.half_h - jnp.round(sy)).astype(jnp.int32)
+    sample_mask = flat_take(mask, iy_r, ix_r)
+
+    xt = sx + cfg.half_w - _EPS
+    yt = (cfg.half_h - sy) - _EPS
+    x0 = jnp.floor(xt)
+    x1 = jnp.ceil(xt)
+    y0 = jnp.floor(yt)
+    y1 = jnp.ceil(yt)
+    d_ul = flat_take(depth, y0.astype(jnp.int32), x0.astype(jnp.int32))
+    d_ur = flat_take(depth, y0.astype(jnp.int32), x1.astype(jnp.int32))
+    d_ll = flat_take(depth, y1.astype(jnp.int32), x0.astype(jnp.int32))
+    d_lr = flat_take(depth, y1.astype(jnp.int32), x1.astype(jnp.int32))
+    interp_u = d_ul * (x1 - xt) + d_ur * (xt - x0)
+    interp_l = d_ll * (x1 - xt) + d_lr * (xt - x0)
+    d_interp = interp_u * (y1 - yt) + interp_l * (yt - y0)
+
+    ba_x = (xt - cfg.half_w) - xx
+    ba_y = (cfg.half_h - yt) - yy
+    ba_z = d_interp - depth
+    cross_x = ba_y * bc_z - ba_z * bc_y
+    cross_y = ba_z * bc_x - ba_x * bc_z
+    cross_z = ba_x * bc_y - ba_y * bc_x
+    numerator = jnp.sqrt(
+        cross_x * cross_x + cross_y * cross_y + cross_z * cross_z + _EPS
+    )
+    distances = numerator / denominator
+    return jnp.where(sample_mask == 0, _OFF_FACE_DISTANCE, distances)
+
+
 def ray_march_min_distance(
     depth: Array,
     mask: Array,

@@ -50,7 +50,8 @@ def _march_kernel(
     depth_t_ref,      # (1, W, H) f32 VMEM: transposed depth
     depth_tile_ref,   # (1, TILE, W) f32 VMEM: this tile's own depth rows
     indicator_t_ref,  # (1, W, H) f32 VMEM: transposed 0/1 face indicator
-    out_ref,          # (1, TILE, W) f32 VMEM
+    out_ref,          # (1, TILE, W) f32 VMEM: min distance
+    tstar_ref,        # (1, TILE, W) f32 VMEM: argmin parametric offset t*
     *,
     cfg: RenderConfig,
     tile_rows: int,
@@ -117,24 +118,20 @@ def _march_kernel(
     denom = jnp.sqrt(bc_x * bc_x + bc_y * bc_y + bc_z * bc_z + _EPS)
 
     # Class-index iotas along a trailing axis (free reshapes to 2D for MXU).
-    # In fast mode the big (TILE, W, W) weight arrays are built in bfloat16
-    # (integers < 257 are exact in bf16; only the fractional tap weights
-    # round, ~1e-3) halving VPU vreg traffic.
-    wdt = jnp.float32 if cfg.shadow_matmul_precision == "highest" else jnp.bfloat16
-    cls_wf = jax.lax.broadcasted_iota(jnp.int32, (tr, w, w), 2).astype(wdt)
-    cls_hf = jax.lax.broadcasted_iota(jnp.int32, (tr, w, h), 2).astype(wdt)
+    # (Mosaic only supports minor-dim insertion for 32-bit types, so the big
+    # weight arrays stay f32; matmul speed comes from the `precision` arg.)
+    cls_wf = jax.lax.broadcasted_iota(jnp.int32, (tr, w, w), 2).astype(jnp.float32)
+    cls_hf = jax.lax.broadcasted_iota(jnp.int32, (tr, w, h), 2).astype(jnp.float32)
 
     def hat(cls, coord):
         # max(0, 1 - |cls - coord|): the bilinear tap weights as one closed
         # form. Exactly equals the reference's floor/ceil two-tap weights for
         # non-integer coords (always the case after the -1e-4 shift), and the
         # clamp reproduces the clipped-edge taps.
-        c = coord.astype(cls.dtype)[..., None]
-        one = jnp.asarray(1.0, cls.dtype)
-        zero = jnp.asarray(0.0, cls.dtype)
-        return jnp.maximum(zero, one - jnp.abs(cls - c))
+        return jnp.maximum(0.0, 1.0 - jnp.abs(cls - coord[..., None]))
 
-    def step(s, min_acc):
+    def step(s, carry):
+        min_acc, tbest = carry
         t = ts_ref[s, 0]
         sx = xx + t * diff_x
         sy = yy + t * diff_y
@@ -153,32 +150,30 @@ def _march_kernel(
         wx = hat(cls_wf, xtc).reshape(tr * w, w)
         b = jax.lax.dot_general(
             wx,
-            depth_t.astype(wdt),
+            depth_t,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision,
         ).reshape(tr, w, h)
 
         # Hat y reduction on the VPU (lane-axis reduce -> (TILE, W)).
-        d_interp = jnp.sum(b * hat(cls_hf, ytc).astype(jnp.float32), axis=2)
+        d_interp = jnp.sum(b * hat(cls_hf, ytc), axis=2)
 
-        # Mask veto: one-hot gather of the 0/1 indicator. Exact in bf16
-        # regardless of mode (single 1.0 x {0,1} product per output), so this
-        # matmul always uses the fast path.
-        one = jnp.asarray(1.0, wdt)
-        zero = jnp.asarray(0.0, wdt)
+        # Mask veto: one-hot gather of the 0/1 indicator. A single
+        # 1.0 x {0,1} product per output is exact even in bf16 passes, so
+        # this matmul always uses the fast default precision.
         ind_onehot = jnp.where(
-            cls_wf == xr.astype(wdt)[..., None], one, zero
+            cls_wf == xr[..., None], 1.0, 0.0
         ).reshape(tr * w, w)
         mrows = jax.lax.dot_general(
-            ind_onehot.astype(jnp.bfloat16),
-            indicator_t.astype(jnp.bfloat16),
+            ind_onehot,
+            indicator_t,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         ).reshape(tr, w, h)
         on_face = jnp.sum(
-            mrows * jnp.where(cls_hf == yr.astype(wdt)[..., None], one, zero).astype(jnp.float32),
-            axis=2,
+            mrows * jnp.where(cls_hf == yr[..., None], 1.0, 0.0), axis=2
         )
 
         # 3D point-to-line distance (:478-487), sample xy keeps the shift.
@@ -190,10 +185,17 @@ def _march_kernel(
         cz = ba_x * bc_y - ba_y * bc_x
         dist = jnp.sqrt(cx * cx + cy * cy + cz * cz + _EPS) / denom
         dist = jnp.where(on_face == 0.0, _OFF_FACE, dist)
-        return jnp.minimum(min_acc, dist)
+        better = dist < min_acc
+        return jnp.minimum(min_acc, dist), jnp.where(better, t, tbest)
 
-    min_d = jax.lax.fori_loop(
-        0, ts_ref.shape[0], step, jnp.full((tr, w), jnp.inf, jnp.float32)
+    min_d, t_star = jax.lax.fori_loop(
+        0,
+        ts_ref.shape[0],
+        step,
+        (
+            jnp.full((tr, w), jnp.inf, jnp.float32),
+            jnp.zeros((tr, w), jnp.float32),
+        ),
     )
 
     if cfg.shadow_bias_gate != "none":
@@ -209,6 +211,7 @@ def _march_kernel(
         min_d = min_d + jnp.where(gate, cfg.shadow_bias, 0.0).astype(min_d.dtype)
 
     out_ref[0] = min_d
+    tstar_ref[0] = t_star
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -227,17 +230,28 @@ def ray_march_min_distance_pallas_vjp(
 
 
 def _vjp_fwd(depth, mask, light_point, cfg):
-    out = ray_march_min_distance_pallas(depth, mask, light_point, cfg)
-    return out, (depth, mask, light_point)
+    out, t_star = ray_march_min_distance_pallas(
+        depth, mask, light_point, cfg, return_argmin_t=True
+    )
+    return out, (depth, mask, light_point, t_star)
 
 
 def _vjp_bwd(cfg, residuals, g):
-    depth, mask, light_point = residuals
-    _, pullback = jax.vjp(
-        lambda d, l: shadows_ref.ray_march_min_distance_batch(d, mask, l, cfg),
-        depth,
-        light_point,
-    )
+    # d(min_s f_s)/dx = d f_{s*}/dx: differentiate ONLY the winning sample
+    # (t* recorded by the forward kernel) — 1/num_sample_points of the
+    # march's gather work, exact a.e. (ties are measure-zero). The chain
+    # through the border endpoints (light gradient) is included, matching
+    # the reference autograd.
+    depth, mask, light_point, t_star = residuals
+
+    def winning_distance(d, l):
+        return jax.vmap(
+            lambda dd, mm, ll, tt: shadows_ref.sample_distance_at(
+                dd, mm, ll, tt, cfg
+            )
+        )(d, mask, l, t_star)
+
+    _, pullback = jax.vjp(winning_distance, depth, light_point)
     d_depth, d_light = pullback(g)
     return d_depth, jnp.zeros_like(mask), d_light
 
@@ -252,8 +266,12 @@ def ray_march_min_distance_pallas(
     cfg: RenderConfig,
     tile_rows: int = 8,
     interpret: bool = False,
-) -> Array:
-    """(B,H,W), (B,H,W), (B,3) -> (B,H,W) min distances, fused on TPU."""
+    return_argmin_t: bool = False,
+):
+    """(B,H,W), (B,H,W), (B,3) -> (B,H,W) min distances, fused on TPU.
+
+    With return_argmin_t also returns the winning parametric offset t* per
+    pixel (used by the backward pass)."""
     b, h, w = depth.shape
     assert (h, w) == (cfg.img_height, cfg.img_width), (depth.shape, cfg)
     assert h % tile_rows == 0
@@ -274,9 +292,15 @@ def ray_march_min_distance_pallas(
         _march_kernel, cfg=cfg, tile_rows=tile_rows, precision=precision
     )
 
-    return pl.pallas_call(
+    out_block = pl.BlockSpec(
+        (1, tile_rows, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    min_d, t_star = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        ),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -285,8 +309,9 @@ def ray_march_min_distance_pallas(
             pl.BlockSpec((1, tile_rows, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w, h), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tile_rows, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=(out_block, out_block),
         interpret=interpret,
     )(jnp.asarray(ts), light2d, depth_t, depth, indicator_t)
+    if return_argmin_t:
+        return min_d, t_star
+    return min_d

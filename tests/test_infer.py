@@ -1,0 +1,99 @@
+"""Relighter API tests on a small random-weight model (CPU)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from geomconsistentfr_tpu.config import preset_single_image
+from geomconsistentfr_tpu.infer import Relighter
+from geomconsistentfr_tpu.models.relightnet import RelightNet
+
+
+@pytest.fixture(scope="module")
+def small_relighter():
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render,
+            img_height=64,
+            img_width=64,
+            num_sample_points=16,
+            t_stop=0.105,
+            march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    return Relighter(cfg, variables)
+
+
+def test_sweep_matches_individual_forwards(small_relighter):
+    rl = small_relighter
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    mask = np.ones((64, 64), np.float32)
+    lights = np.asarray(
+        [[0.0, 0.7071, 0.7071], [0.7518, 0.0, 0.6594], [-0.5843, 0.0, 0.8115]],
+        np.float32,
+    )
+    ambients = np.asarray([0.5, 0.4, 0.6], np.float32)
+
+    sweep = rl.relight_sweep(img, mask, lights, ambients)
+    assert sweep.rendered.shape == (3, 64, 64, 3)
+    for i in range(3):
+        single = rl.forward(
+            img[None], mask[None],
+            target_light=lights[i : i + 1],
+            target_ambient=ambients[i : i + 1],
+        )
+        np.testing.assert_allclose(
+            np.asarray(sweep.rendered[i]),
+            np.asarray(single.rendered[0]),
+            atol=1e-5,
+        )
+
+
+def test_transfer_uses_estimated_light(small_relighter):
+    # Transfer semantics need ambient_mode='target' (the single_image preset
+    # deliberately ignores the target ambient, reference :342).
+    rl0 = small_relighter
+    cfg = dataclasses.replace(
+        rl0.cfg,
+        render=dataclasses.replace(
+            rl0.cfg.render, ambient_mode="target", z_clamp_min=0.16
+        ),
+    )
+    rl = Relighter(cfg, rl0.variables)
+    rng = np.random.default_rng(1)
+    img = rng.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    ref = rng.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    mask = np.ones((1, 64, 64), np.float32)
+
+    unit, ambient = rl.estimate_lighting(ref)
+    np.testing.assert_allclose(np.linalg.norm(unit, axis=1), 1.0, rtol=1e-5)
+    assert unit[0, 2] > 0  # z clamp applied before normalisation
+    out = rl.transfer_lighting(img, ref, mask)
+    np.testing.assert_allclose(
+        np.asarray(out.unit_light_direction), unit, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(out.ambient_values), ambient, atol=1e-6)
+
+
+def test_forward_outputs_shapes(small_relighter):
+    rl = small_relighter
+    rng = np.random.default_rng(2)
+    img = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    mask = np.ones((2, 64, 64), np.float32)
+    out = rl.forward(img, mask, target_light=np.tile([[0.0, 0.0, 1.0]], (2, 1)))
+    assert out.albedo.shape == (2, 64, 64, 3)
+    assert out.depth.shape == (2, 64, 64)
+    assert out.rendered.shape == (2, 64, 64, 3)
+    assert out.shadow_mask_weights.shape == (2, 64, 64)
+    assert out.surface_normals.shape == (2, 64, 64, 3)
+    assert bool(jnp.isfinite(out.rendered).all())
