@@ -1,0 +1,97 @@
+"""Serving endpoint test: spin up the HTTP server with a tiny model."""
+
+import base64
+import dataclasses
+import io
+import json
+import threading
+from http.server import HTTPServer
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _png_b64(img01):
+    import imageio.v2 as imageio
+
+    buf = io.BytesIO()
+    imageio.imwrite(buf, (np.asarray(img01) * 255).astype(np.uint8), format="png")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_relight_endpoint():
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.serve import make_handler
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=64, img_width=64,
+            num_sample_points=16, t_stop=0.105, march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    relighter = Relighter(cfg, variables)
+
+    # Serve expects 256-inputs by default; patch its decode size via a small
+    # request image that it resizes — instead call the handler with 64x64 by
+    # monkeypatching the decoder size through the posted image size (the
+    # handler resizes to 256; our tiny model is 64). Simplest: post 64x64 and
+    # patch serve._decode_image default.
+    import geomconsistentfr_tpu.serve as serve_mod
+
+    orig = serve_mod._decode_image
+    serve_mod._decode_image = lambda b64, size=64: orig(b64, size=64)
+    try:
+        server = HTTPServer(("127.0.0.1", 0), make_handler(relighter))
+        port = server.server_address[1]
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+
+        import http.client
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(size=(64, 64, 3))
+        mask = np.ones((64, 64, 3))
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request(
+            "POST",
+            "/relight",
+            json.dumps(
+                {
+                    "image": _png_b64(img),
+                    "mask": _png_b64(mask),
+                    "light_preset": "multipie_14",
+                }
+            ),
+        )
+        resp = conn.getresponse()
+        payload = json.loads(resp.read())
+        assert resp.status == 200, payload
+        assert "rendered" in payload and "shadow_mask" in payload
+
+        conn.request("POST", "/estimate", json.dumps({"image": _png_b64(img)}))
+        resp = conn.getresponse()
+        est = json.loads(resp.read())
+        assert resp.status == 200
+        assert len(est["direction"]) == 3
+        np.testing.assert_allclose(np.linalg.norm(est["direction"]), 1.0, rtol=1e-4)
+
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().status == 200
+
+        # Probe: malformed body -> clean 400
+        conn.request("POST", "/relight", "{not json")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        server.shutdown()
+    finally:
+        serve_mod._decode_image = orig
