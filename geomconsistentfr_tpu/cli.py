@@ -30,14 +30,23 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
         default=None,
         help="pipeline preset (default: inferred per command)",
     )
+    p.add_argument(
+        "--config",
+        default=None,
+        help="JSON file with (partial) PipelineConfig overrides on the preset",
+    )
     p.add_argument("--out", default="outputs", help="output directory")
 
 
 def _relighter(args, default_preset: str):
-    from geomconsistentfr_tpu.config import PRESETS
+    from geomconsistentfr_tpu.config import PRESETS, load_config
     from geomconsistentfr_tpu.infer import load_relighter
 
-    cfg = PRESETS[args.preset or default_preset]()
+    preset = args.preset or default_preset
+    if getattr(args, "config", None):
+        cfg = load_config(args.config, preset=preset)
+    else:
+        cfg = PRESETS[preset]()
     return load_relighter(args.checkpoint, cfg=cfg)
 
 

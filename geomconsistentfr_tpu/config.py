@@ -295,3 +295,47 @@ PRESETS = {
     "multipie_eval": preset_multipie_eval,
     "lighting_transfer": preset_lighting_transfer,
 }
+
+
+# ---------------------------------------------------------------------------
+# Serialisation (CLI --config files; the reference hard-codes everything)
+# ---------------------------------------------------------------------------
+
+
+def to_dict(cfg: PipelineConfig) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def from_dict(data: dict, base: Optional[PipelineConfig] = None) -> PipelineConfig:
+    """Build a PipelineConfig from (possibly partial) nested dicts.
+
+    Unknown keys raise; tuples are restored for tuple-typed fields.
+    """
+    base = base or PipelineConfig()
+
+    def merge(dc, overrides: dict):
+        fields = {f.name: f for f in dataclasses.fields(dc)}
+        kwargs = {}
+        for key, value in overrides.items():
+            if key not in fields:
+                raise KeyError(f"unknown config field: {type(dc).__name__}.{key}")
+            current = getattr(dc, key)
+            if dataclasses.is_dataclass(current) and isinstance(value, dict):
+                kwargs[key] = merge(current, value)
+            elif isinstance(current, tuple) and isinstance(value, (list, tuple)):
+                kwargs[key] = tuple(value)
+            else:
+                kwargs[key] = value
+        return dataclasses.replace(dc, **kwargs)
+
+    return merge(base, data)
+
+
+def load_config(path: str, preset: Optional[str] = None) -> PipelineConfig:
+    """JSON config file (full or partial overrides on top of a preset)."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    base = PRESETS[preset]() if preset else PipelineConfig()
+    return from_dict(data, base)
