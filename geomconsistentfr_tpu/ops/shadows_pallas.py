@@ -120,8 +120,12 @@ def _march_kernel(
     # Class-index iotas along a trailing axis (free reshapes to 2D for MXU).
     # (Mosaic only supports minor-dim insertion for 32-bit types, so the big
     # weight arrays stay f32; matmul speed comes from the `precision` arg.)
-    cls_wf = jax.lax.broadcasted_iota(jnp.int32, (tr, w, w), 2).astype(jnp.float32)
-    cls_hf = jax.lax.broadcasted_iota(jnp.int32, (tr, w, h), 2).astype(jnp.float32)
+    # The per-step temporaries are (SUB, W, W) — the tile is processed in
+    # `n_sub` row slabs to stay inside the 16 MB VMEM budget.
+    n_sub = 2 if tr >= 8 else 1
+    sub = tr // n_sub
+    cls_wf = jax.lax.broadcasted_iota(jnp.int32, (sub, w, w), 2).astype(jnp.float32)
+    cls_hf = jax.lax.broadcasted_iota(jnp.int32, (sub, w, h), 2).astype(jnp.float32)
 
     def hat(cls, coord):
         # max(0, 1 - |cls - coord|): the bilinear tap weights as one closed
@@ -130,11 +134,13 @@ def _march_kernel(
         # clamp reproduces the clipped-edge taps.
         return jnp.maximum(0.0, 1.0 - jnp.abs(cls - coord[..., None]))
 
-    def step(s, carry):
-        min_acc, tbest = carry
-        t = ts_ref[s, 0]
-        sx = xx + t * diff_x
-        sy = yy + t * diff_y
+    def slab(a, k):
+        return jax.lax.slice_in_dim(a, k * sub, (k + 1) * sub, axis=0)
+
+    def step_slab(t, k):
+        xx_s, yy_s = slab(xx, k), slab(yy, k)
+        sx = xx_s + t * slab(diff_x, k)
+        sy = yy_s + t * slab(diff_y, k)
 
         # Rounded indices for the mask veto (:449-454).
         xr = jnp.clip(jnp.round(sx) + w / 2.0, 0, w - 1)
@@ -147,16 +153,16 @@ def _march_kernel(
         ytc = jnp.clip(yt, 0.0, h - 1.0)
 
         # Hat x-weights -> MXU: B[p, r] = x-interpolated depth at row r.
-        wx = hat(cls_wf, xtc).reshape(tr * w, w)
+        wx = hat(cls_wf, xtc).reshape(sub * w, w)
         b = jax.lax.dot_general(
             wx,
             depth_t,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision,
-        ).reshape(tr, w, h)
+        ).reshape(sub, w, h)
 
-        # Hat y reduction on the VPU (lane-axis reduce -> (TILE, W)).
+        # Hat y reduction on the VPU (lane-axis reduce -> (SUB, W)).
         d_interp = jnp.sum(b * hat(cls_hf, ytc), axis=2)
 
         # Mask veto: one-hot gather of the 0/1 indicator. A single
@@ -164,27 +170,34 @@ def _march_kernel(
         # this matmul always uses the fast default precision.
         ind_onehot = jnp.where(
             cls_wf == xr[..., None], 1.0, 0.0
-        ).reshape(tr * w, w)
+        ).reshape(sub * w, w)
         mrows = jax.lax.dot_general(
             ind_onehot,
             indicator_t,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
-        ).reshape(tr, w, h)
+        ).reshape(sub, w, h)
         on_face = jnp.sum(
             mrows * jnp.where(cls_hf == yr[..., None], 1.0, 0.0), axis=2
         )
 
         # 3D point-to-line distance (:478-487), sample xy keeps the shift.
-        ba_x = (xt - w / 2.0) - xx
-        ba_y = (h / 2.0 - yt) - yy
-        ba_z = d_interp - depth_px
-        cx = ba_y * bc_z - ba_z * bc_y
-        cy = ba_z * bc_x - ba_x * bc_z
-        cz = ba_x * bc_y - ba_y * bc_x
-        dist = jnp.sqrt(cx * cx + cy * cy + cz * cz + _EPS) / denom
-        dist = jnp.where(on_face == 0.0, _OFF_FACE, dist)
+        ba_x = (xt - w / 2.0) - xx_s
+        ba_y = (h / 2.0 - yt) - yy_s
+        ba_z = d_interp - slab(depth_px, k)
+        cx = ba_y * slab(bc_z, k) - ba_z * slab(bc_y, k)
+        cy = ba_z * slab(bc_x, k) - ba_x * slab(bc_z, k)
+        cz = ba_x * slab(bc_y, k) - ba_y * slab(bc_x, k)
+        dist = jnp.sqrt(cx * cx + cy * cy + cz * cz + _EPS) / slab(denom, k)
+        return jnp.where(on_face == 0.0, _OFF_FACE, dist)
+
+    def step(s, carry):
+        min_acc, tbest = carry
+        t = ts_ref[s, 0]
+        dist = jnp.concatenate(
+            [step_slab(t, k) for k in range(n_sub)], axis=0
+        )
         better = dist < min_acc
         return jnp.minimum(min_acc, dist), jnp.where(better, t, tbest)
 
