@@ -78,6 +78,41 @@ def load_relightnet_variables(path: str) -> Dict[str, dict]:
     return torch_state_to_variables(load_torch_checkpoint(path))
 
 
+def transfer_to_target_variant(variables: Mapping[str, Mapping]) -> Dict[str, dict]:
+    """Embed transfer-variant weights into the target-variant architecture.
+
+    The two reference families differ only in the nine projection shortcuts:
+    1x1 bias-free (transfer) vs 3x3 with bias (target). A 1x1 conv is exactly
+    a 3x3 conv whose only nonzero tap is the centre, with zero bias — so the
+    bundled transfer checkpoint (model_epoch106.pth) can drive the
+    target-lighting pipeline with an identical function. (The reference's own
+    target checkpoint, model/model_epoch99.pth, is a missing large blob
+    upstream; see /root/reference/.MISSING_LARGE_BLOBS.)
+    """
+    shortcut_names = [
+        "conv_shortcut_h1_out",
+        "conv_shortcut_h2_out",
+        "conv_shortcut_h3_out",
+        "deconv_albedo_shortcut_all_features",
+        "deconv_albedo_shortcut_h5_out",
+        "deconv_albedo_shortcut_h6_out",
+        "deconv_depth_shortcut_all_features",
+        "deconv_depth_shortcut_h5_out",
+        "deconv_depth_shortcut_h6_out",
+    ]
+    params = {k: dict(v) for k, v in variables["params"].items()}
+    for name in shortcut_names:
+        kernel = np.asarray(params[name]["kernel"])  # (1, 1, I, O)
+        assert kernel.shape[:2] == (1, 1), (name, kernel.shape)
+        padded = np.zeros((3, 3, *kernel.shape[2:]), kernel.dtype)
+        padded[1, 1] = kernel[0, 0]
+        params[name] = {
+            "kernel": padded,
+            "bias": np.zeros((kernel.shape[-1],), kernel.dtype),
+        }
+    return {"params": params, "batch_stats": dict(variables["batch_stats"])}
+
+
 def variables_to_torch_state(variables: Mapping[str, Mapping]) -> Dict[str, np.ndarray]:
     """Inverse mapping (Flax -> reference .pth layout) for interop/export."""
     state: Dict[str, np.ndarray] = {}

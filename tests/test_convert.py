@@ -129,6 +129,33 @@ def test_torch_batchnorm_train_semantics():
     )
 
 
+def test_transfer_to_target_variant_identical_function():
+    """The 1x1->3x3 shortcut embedding preserves the function exactly."""
+    from geomconsistentfr_tpu.config import ModelConfig
+    from geomconsistentfr_tpu.convert import transfer_to_target_variant
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)).astype(np.float32))
+
+    transfer = RelightNet(cfg=ModelConfig(variant="transfer"))
+    v_transfer = transfer.init(jax.random.PRNGKey(2), x)
+    v_target = jax.tree.map(jnp.asarray, transfer_to_target_variant(v_transfer))
+    target = RelightNet(cfg=ModelConfig(variant="target"))
+
+    out_t = transfer.apply(v_transfer, x, train=False)
+    out_g = target.apply(v_target, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_g.albedo), np.asarray(out_t.albedo), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_g.depth), np.asarray(out_t.depth), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_g.lighting), np.asarray(out_t.lighting), atol=1e-6
+    )
+
+
 def test_checkpoint_structure_matches_model():
     """Converted reference checkpoint maps 1:1 onto RelightNet variables."""
     import os
