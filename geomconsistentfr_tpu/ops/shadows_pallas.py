@@ -68,163 +68,168 @@ def _march_kernel(
 
     depth_t = depth_t_ref[0]          # (W, H)
     indicator_t = indicator_t_ref[0]  # (W, H)
-    depth_px = depth_tile_ref[0]      # (TILE, W)
 
-    # Centred pixel coordinates for this tile, (TILE, W).
-    rows = (
-        jax.lax.broadcasted_iota(jnp.int32, (tr, w), 0).astype(jnp.float32)
-        + row0.astype(jnp.float32)
-    )
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tr, w), 1).astype(jnp.float32)
-    xx = cols - w / 2.0
-    yy = h / 2.0 - rows
+    # The per-step temporaries are (SUB, W, W); the tile is processed in
+    # independent row slabs to stay inside the 16 MB VMEM budget. Each slab
+    # computes its own coordinates/endpoints, runs its own step loop, and
+    # stores through a static ref slice — no cross-slab vector slicing or
+    # concatenation (Mosaic rejects sublane slices of live vectors here).
+    n_sub = 2 if tr >= 8 else 1
+    sub = tr // n_sub
 
-    # Branchless border endpoints (reference 9-case analysis, :363-442).
     left = -w / 2.0
     right = w - w / 2.0 - 1.0
     bottom = 1.0 - h / 2.0
     top = h / 2.0
 
-    slopes = (ly - yy) / (lx - xx + _EPS)
-    intercepts = ly - slopes * lx
-    zx_neg = lx < left
-    zx_pos = lx > right
-    zx_mid = jnp.logical_not(jnp.logical_or(zx_neg, zx_pos))
-    zy_neg = ly < bottom
-    zy_pos = ly > top
-    zy_mid = jnp.logical_not(jnp.logical_or(zy_neg, zy_pos))
-
-    xv = jnp.where(zx_neg, left, right)
-    ex_v = jnp.broadcast_to(xv, xx.shape)
-    ey_v = slopes * xv + intercepts
-    yh = jnp.where(zy_neg, bottom, top)
-    ex_h = (yh - intercepts) / (slopes + _EPS)
-    ey_h = jnp.broadcast_to(yh, yy.shape)
-    inter = jnp.logical_and(ex_h >= left, ex_h <= right)
-    ex_c = jnp.where(inter, ex_h, ex_v)
-    ey_c = jnp.where(inter, ey_h, ey_v)
-    inside = jnp.logical_and(zx_mid, zy_mid)
-    ex = jnp.where(inside, lx, jnp.where(zy_mid, ex_v, jnp.where(zx_mid, ex_h, ex_c)))
-    ey = jnp.where(inside, ly, jnp.where(zy_mid, ey_v, jnp.where(zx_mid, ey_h, ey_c)))
-    ex = jnp.clip(ex, left, right)
-    ey = jnp.clip(ey, bottom, top)
-
-    diff_x = ex - xx
-    diff_y = ey - yy
-
-    bc_x = lx - xx
-    bc_y = ly - yy
-    bc_z = lz - depth_px
-    denom = jnp.sqrt(bc_x * bc_x + bc_y * bc_y + bc_z * bc_z + _EPS)
-
-    # Class-index iotas along a trailing axis (free reshapes to 2D for MXU).
-    # (Mosaic only supports minor-dim insertion for 32-bit types, so the big
-    # weight arrays stay f32; matmul speed comes from the `precision` arg.)
-    # The per-step temporaries are (SUB, W, W) — the tile is processed in
-    # `n_sub` row slabs to stay inside the 16 MB VMEM budget.
-    n_sub = 2 if tr >= 8 else 1
-    sub = tr // n_sub
     cls_wf = jax.lax.broadcasted_iota(jnp.int32, (sub, w, w), 2).astype(jnp.float32)
     cls_hf = jax.lax.broadcasted_iota(jnp.int32, (sub, w, h), 2).astype(jnp.float32)
 
     def hat(cls, coord):
-        # max(0, 1 - |cls - coord|): the bilinear tap weights as one closed
+        # max(0, 1 - |cls - coord|): the bilinear tap weights in one closed
         # form. Exactly equals the reference's floor/ceil two-tap weights for
         # non-integer coords (always the case after the -1e-4 shift), and the
         # clamp reproduces the clipped-edge taps.
         return jnp.maximum(0.0, 1.0 - jnp.abs(cls - coord[..., None]))
 
-    def slab(a, k):
-        return jax.lax.slice_in_dim(a, k * sub, (k + 1) * sub, axis=0)
-
-    def step_slab(t, k):
-        xx_s, yy_s = slab(xx, k), slab(yy, k)
-        sx = xx_s + t * slab(diff_x, k)
-        sy = yy_s + t * slab(diff_y, k)
-
-        # Rounded indices for the mask veto (:449-454).
-        xr = jnp.clip(jnp.round(sx) + w / 2.0, 0, w - 1)
-        yr = jnp.clip(h / 2.0 - jnp.round(sy), 0, h - 1)
-
-        # Bilinear coordinates, -1e-4 shifted (:457-471).
-        xt = sx + w / 2.0 - _EPS
-        yt = (h / 2.0 - sy) - _EPS
-        xtc = jnp.clip(xt, 0.0, w - 1.0)
-        ytc = jnp.clip(yt, 0.0, h - 1.0)
-
-        # Hat x-weights -> MXU: B[p, r] = x-interpolated depth at row r.
-        wx = hat(cls_wf, xtc).reshape(sub * w, w)
-        b = jax.lax.dot_general(
-            wx,
-            depth_t,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        ).reshape(sub, w, h)
-
-        # Hat y reduction on the VPU (lane-axis reduce -> (SUB, W)).
-        d_interp = jnp.sum(b * hat(cls_hf, ytc), axis=2)
-
-        # Mask veto: one-hot gather of the 0/1 indicator. A single
-        # 1.0 x {0,1} product per output is exact even in bf16 passes, so
-        # this matmul always uses the fast default precision.
-        ind_onehot = jnp.where(
-            cls_wf == xr[..., None], 1.0, 0.0
-        ).reshape(sub * w, w)
-        mrows = jax.lax.dot_general(
-            ind_onehot,
-            indicator_t,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        ).reshape(sub, w, h)
-        on_face = jnp.sum(
-            mrows * jnp.where(cls_hf == yr[..., None], 1.0, 0.0), axis=2
-        )
-
-        # 3D point-to-line distance (:478-487), sample xy keeps the shift.
-        ba_x = (xt - w / 2.0) - xx_s
-        ba_y = (h / 2.0 - yt) - yy_s
-        ba_z = d_interp - slab(depth_px, k)
-        cx = ba_y * slab(bc_z, k) - ba_z * slab(bc_y, k)
-        cy = ba_z * slab(bc_x, k) - ba_x * slab(bc_z, k)
-        cz = ba_x * slab(bc_y, k) - ba_y * slab(bc_x, k)
-        dist = jnp.sqrt(cx * cx + cy * cy + cz * cz + _EPS) / slab(denom, k)
-        return jnp.where(on_face == 0.0, _OFF_FACE, dist)
-
-    def step(s, carry):
-        min_acc, tbest = carry
-        t = ts_ref[s, 0]
-        dist = jnp.concatenate(
-            [step_slab(t, k) for k in range(n_sub)], axis=0
-        )
-        better = dist < min_acc
-        return jnp.minimum(min_acc, dist), jnp.where(better, t, tbest)
-
-    min_d, t_star = jax.lax.fori_loop(
-        0,
-        ts_ref.shape[0],
-        step,
-        (
-            jnp.full((tr, w), jnp.inf, jnp.float32),
-            jnp.zeros((tr, w), jnp.float32),
-        ),
-    )
-
-    if cfg.shadow_bias_gate != "none":
-        if cfg.shadow_bias_gate == "inside_image":
-            lo_x, hi_x = -cfg.half_w, cfg.img_width - cfg.half_w - 1.0
-            lo_y, hi_y = 1.0 - cfg.half_h, cfg.half_h
-        elif cfg.shadow_bias_gate == "wide":
-            lo_x, hi_x = -4.0 * cfg.img_width, 4.0 * cfg.img_width
-            lo_y, hi_y = 4.0 * (1.0 - cfg.img_height), 4.0 * cfg.img_height
-        else:
-            raise ValueError(cfg.shadow_bias_gate)
+    if cfg.shadow_bias_gate == "inside_image":
+        lo_x, hi_x = -cfg.half_w, cfg.img_width - cfg.half_w - 1.0
+        lo_y, hi_y = 1.0 - cfg.half_h, cfg.half_h
         gate = (lx >= lo_x) & (lx <= hi_x) & (ly >= lo_y) & (ly <= hi_y)
-        min_d = min_d + jnp.where(gate, cfg.shadow_bias, 0.0).astype(min_d.dtype)
+    elif cfg.shadow_bias_gate == "wide":
+        lo_x, hi_x = -4.0 * cfg.img_width, 4.0 * cfg.img_width
+        lo_y, hi_y = 4.0 * (1.0 - cfg.img_height), 4.0 * cfg.img_height
+        gate = (lx >= lo_x) & (lx <= hi_x) & (ly >= lo_y) & (ly <= hi_y)
+    elif cfg.shadow_bias_gate == "none":
+        gate = None
+    else:
+        raise ValueError(cfg.shadow_bias_gate)
 
-    out_ref[0] = min_d
-    tstar_ref[0] = t_star
+    for k in range(n_sub):
+        # Centred pixel coordinates for this slab, (SUB, W).
+        rows = (
+            jax.lax.broadcasted_iota(jnp.int32, (sub, w), 0).astype(jnp.float32)
+            + (row0 + k * sub).astype(jnp.float32)
+        )
+        cols = jax.lax.broadcasted_iota(jnp.int32, (sub, w), 1).astype(jnp.float32)
+        xx = cols - w / 2.0
+        yy = h / 2.0 - rows
+        depth_px = depth_tile_ref[0, k * sub : (k + 1) * sub, :]
+
+        # Branchless border endpoints (reference 9-case analysis, :363-442).
+        slopes = (ly - yy) / (lx - xx + _EPS)
+        intercepts = ly - slopes * lx
+        zx_neg = lx < left
+        zx_pos = lx > right
+        zx_mid = jnp.logical_not(jnp.logical_or(zx_neg, zx_pos))
+        zy_neg = ly < bottom
+        zy_pos = ly > top
+        zy_mid = jnp.logical_not(jnp.logical_or(zy_neg, zy_pos))
+
+        xv = jnp.where(zx_neg, left, right)
+        ex_v = jnp.broadcast_to(xv, xx.shape)
+        ey_v = slopes * xv + intercepts
+        yh = jnp.where(zy_neg, bottom, top)
+        ex_h = (yh - intercepts) / (slopes + _EPS)
+        ey_h = jnp.broadcast_to(yh, yy.shape)
+        inter = jnp.logical_and(ex_h >= left, ex_h <= right)
+        ex_c = jnp.where(inter, ex_h, ex_v)
+        ey_c = jnp.where(inter, ey_h, ey_v)
+        inside = jnp.logical_and(zx_mid, zy_mid)
+        ex = jnp.where(
+            inside, lx, jnp.where(zy_mid, ex_v, jnp.where(zx_mid, ex_h, ex_c))
+        )
+        ey = jnp.where(
+            inside, ly, jnp.where(zy_mid, ey_v, jnp.where(zx_mid, ey_h, ey_c))
+        )
+        ex = jnp.clip(ex, left, right)
+        ey = jnp.clip(ey, bottom, top)
+
+        diff_x = ex - xx
+        diff_y = ey - yy
+
+        bc_x = lx - xx
+        bc_y = ly - yy
+        bc_z = lz - depth_px
+        denom = jnp.sqrt(bc_x * bc_x + bc_y * bc_y + bc_z * bc_z + _EPS)
+
+        def step(s, carry, xx=xx, yy=yy, diff_x=diff_x, diff_y=diff_y,
+                 bc_x=bc_x, bc_y=bc_y, bc_z=bc_z, denom=denom,
+                 depth_px=depth_px):
+            min_acc, tbest = carry
+            t = ts_ref[s, 0]
+            sx = xx + t * diff_x
+            sy = yy + t * diff_y
+
+            # Rounded indices for the mask veto (:449-454).
+            xr = jnp.clip(jnp.round(sx) + w / 2.0, 0, w - 1)
+            yr = jnp.clip(h / 2.0 - jnp.round(sy), 0, h - 1)
+
+            # Bilinear coordinates, -1e-4 shifted (:457-471).
+            xt = sx + w / 2.0 - _EPS
+            yt = (h / 2.0 - sy) - _EPS
+            xtc = jnp.clip(xt, 0.0, w - 1.0)
+            ytc = jnp.clip(yt, 0.0, h - 1.0)
+
+            # Hat x-weights -> MXU: B[p, r] = x-interpolated depth at row r.
+            wx = hat(cls_wf, xtc).reshape(sub * w, w)
+            b = jax.lax.dot_general(
+                wx,
+                depth_t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            ).reshape(sub, w, h)
+
+            # Hat y reduction on the VPU (lane-axis reduce -> (SUB, W)).
+            d_interp = jnp.sum(b * hat(cls_hf, ytc), axis=2)
+
+            # Mask veto: one-hot gather of the 0/1 indicator. A single
+            # 1.0 x {0,1} product per output is exact even in bf16 passes,
+            # so this matmul always uses the fast default precision.
+            ind_onehot = jnp.where(
+                cls_wf == xr[..., None], 1.0, 0.0
+            ).reshape(sub * w, w)
+            mrows = jax.lax.dot_general(
+                ind_onehot,
+                indicator_t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ).reshape(sub, w, h)
+            on_face = jnp.sum(
+                mrows * jnp.where(cls_hf == yr[..., None], 1.0, 0.0), axis=2
+            )
+
+            # 3D point-to-line distance (:478-487); sample xy keeps the shift.
+            ba_x = (xt - w / 2.0) - xx
+            ba_y = (h / 2.0 - yt) - yy
+            ba_z = d_interp - depth_px
+            cx = ba_y * bc_z - ba_z * bc_y
+            cy = ba_z * bc_x - ba_x * bc_z
+            cz = ba_x * bc_y - ba_y * bc_x
+            dist = jnp.sqrt(cx * cx + cy * cy + cz * cz + _EPS) / denom
+            dist = jnp.where(on_face == 0.0, _OFF_FACE, dist)
+            better = dist < min_acc
+            return jnp.minimum(min_acc, dist), jnp.where(better, t, tbest)
+
+        min_d, t_star = jax.lax.fori_loop(
+            0,
+            ts_ref.shape[0],
+            step,
+            (
+                jnp.full((sub, w), jnp.inf, jnp.float32),
+                jnp.zeros((sub, w), jnp.float32),
+            ),
+        )
+
+        if gate is not None:
+            min_d = min_d + jnp.where(gate, cfg.shadow_bias, 0.0).astype(
+                min_d.dtype
+            )
+
+        out_ref[0, k * sub : (k + 1) * sub, :] = min_d
+        tstar_ref[0, k * sub : (k + 1) * sub, :] = t_star
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -290,11 +295,29 @@ def ray_march_min_distance_pallas(
     assert h % tile_rows == 0
     n_tiles = h // tile_rows
 
-    ts = shadows_ref.sample_ts(cfg).astype(np.float32).reshape(-1, 1)
+    ts = shadows_ref.sample_ts(cfg).astype(np.float32)
+    # Pad the step grid to a sublane multiple (odd SMEM extents crash the
+    # compiler); duplicated trailing offsets cannot change the running min.
+    pad = (-ts.shape[0]) % 8
+    if pad:
+        ts = np.concatenate([ts, np.repeat(ts[-1:], pad)])
+    ts = ts.reshape(-1, 1)
     depth = depth.astype(jnp.float32)
     depth_t = jnp.swapaxes(depth, -1, -2)
     indicator_t = jnp.swapaxes((mask != 0).astype(jnp.float32), -1, -2)
     light2d = light_point.astype(jnp.float32).reshape(b, 3)
+
+    # Mosaic's block pipeline prefetches the next batch block; at batch 1 the
+    # lookahead slice overruns the operand (observed XLA Array::Slice check
+    # failure). Pad the batched inputs with one dummy image; the grid still
+    # only visits the real batch.
+    def pad_batch(x):
+        return jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+
+    depth_t = pad_batch(depth_t)
+    depth_in = pad_batch(depth)
+    indicator_t = pad_batch(indicator_t)
+    light2d = jnp.concatenate([light2d, jnp.zeros((1, 3), jnp.float32)], axis=0)
 
     precision = (
         jax.lax.Precision.HIGHEST
@@ -308,11 +331,13 @@ def ray_march_min_distance_pallas(
     out_block = pl.BlockSpec(
         (1, tile_rows, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
+    # Outputs are padded by one image as well (same pipeline-lookahead
+    # workaround as the inputs); the grid never visits the pad.
     min_d, t_star = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b + 1, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b + 1, h, w), jnp.float32),
         ),
         grid=(b, n_tiles),
         in_specs=[
@@ -324,7 +349,9 @@ def ray_march_min_distance_pallas(
         ],
         out_specs=(out_block, out_block),
         interpret=interpret,
-    )(jnp.asarray(ts), light2d, depth_t, depth, indicator_t)
+    )(jnp.asarray(ts), light2d, depth_t, depth_in, indicator_t)
+    min_d = min_d[:b]
+    t_star = t_star[:b]
     if return_argmin_t:
         return min_d, t_star
     return min_d
