@@ -102,6 +102,7 @@ def run_inference(
 
     from geomconsistentfr_tpu.utils.io import read_image, read_mask, save_render_outputs
 
+    size = relighter.cfg.render.img_height
     inputs = sorted(os.listdir(input_dir))
     gts = sorted(os.listdir(gt_dir))
     masks = sorted(os.listdir(mask_fill_nose_dir))
@@ -110,8 +111,8 @@ def run_inference(
 
     os.makedirs(output_dir, exist_ok=True)
     for i in range(n):
-        img = read_image(os.path.join(input_dir, inputs[i]))
-        mask = read_mask(os.path.join(mask_fill_nose_dir, masks[i]))
+        img = read_image(os.path.join(input_dir, inputs[i]), size=size)
+        mask = read_mask(os.path.join(mask_fill_nose_dir, masks[i]), size=size)
         idx = int(gts[i].split(".")[0].split("_")[-1]) - 1
         light = np.asarray(directions[idx], np.float32)[None]
         out = relighter.forward(img[None], mask[None], target_light=light)

@@ -1,0 +1,93 @@
+"""End-to-end Multi-PIE eval harness on a synthetic mini dataset (CPU, 64px)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def fake_eval_data(tmp_path_factory):
+    import imageio.v2 as imageio
+    import scipy.io
+
+    root = tmp_path_factory.mktemp("mp_eval")
+    for d in (
+        "input_images_MP_18_lightings",
+        "groundtruth_images_MP_18_lightings",
+        "MP_depth_masks_fill_nose",
+    ):
+        os.makedirs(root / d)
+    rng = np.random.default_rng(0)
+    directions = rng.normal(size=(18, 3))
+    directions[:, 2] = np.abs(directions[:, 2]) + 0.3
+    directions /= np.linalg.norm(directions, axis=1, keepdims=True)
+    scipy.io.savemat(root / "MP_lighting_directions.mat",
+                     {"lighting_directions": directions})
+    for i in range(2):
+        img = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+        imageio.imwrite(
+            root / "input_images_MP_18_lightings" / f"img{i:03d}.png", img
+        )
+        # GT filename encodes the 1-based target lighting index.
+        imageio.imwrite(
+            root / "groundtruth_images_MP_18_lightings" / f"img{i:03d}_{i + 3}.png",
+            img,
+        )
+        mask = np.zeros((64, 64), np.uint8)
+        mask[8:56, 8:56] = 255
+        imageio.imwrite(root / "MP_depth_masks_fill_nose" / f"img{i:03d}.png", mask)
+    return str(root)
+
+
+def test_run_inference_and_evaluate(fake_eval_data, tmp_path):
+    from geomconsistentfr_tpu.config import preset_multipie_eval
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.metrics.eval_multipie import (
+        evaluate_output_dir,
+        run_inference,
+    )
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+
+    cfg = preset_multipie_eval()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=64, img_width=64,
+            num_sample_points=16, t_stop=0.105, march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    rl = Relighter(cfg, variables)
+
+    out_dir = str(tmp_path / "dump")
+    n = run_inference(
+        rl,
+        input_dir=os.path.join(fake_eval_data, "input_images_MP_18_lightings"),
+        gt_dir=os.path.join(fake_eval_data, "groundtruth_images_MP_18_lightings"),
+        lighting_mat=os.path.join(fake_eval_data, "MP_lighting_directions.mat"),
+        mask_fill_nose_dir=os.path.join(fake_eval_data, "MP_depth_masks_fill_nose"),
+        output_dir=out_dir,
+    )
+    assert n == 2
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == 12  # six outputs per image (reference convention)
+    # 3rd of each sorted 6-file group is the rendered image (stride protocol).
+    assert files[2].endswith("_rendered_image.png")
+    assert files[8].endswith("_rendered_image.png")
+
+    metrics = evaluate_output_dir(
+        out_dir,
+        os.path.join(fake_eval_data, "groundtruth_images_MP_18_lightings"),
+        os.path.join(fake_eval_data, "MP_depth_masks_fill_nose"),
+    )
+    assert metrics["num_images"] == 2
+    assert 0 <= metrics["masked_dssim_mean"] <= 0.5
+    assert metrics["masked_mse_mean"] > 0
+    assert np.isfinite(metrics["masked_psnr_mean"])
