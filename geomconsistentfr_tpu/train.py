@@ -50,7 +50,7 @@ from geomconsistentfr_tpu.parallel.mesh import (
     shard_map_fn,
 )
 from geomconsistentfr_tpu.render import render
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 Array = jax.Array
 
