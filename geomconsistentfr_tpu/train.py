@@ -22,7 +22,6 @@ TPU-native additions (no reference counterpart, SURVEY.md §2.3):
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from functools import partial
