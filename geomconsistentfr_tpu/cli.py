@@ -212,6 +212,32 @@ def cmd_fix_border(args) -> int:
     return 0
 
 
+def cmd_crop(args) -> int:
+    """Face-crop preprocessing (reference recrop_CelebA-HQ_images.py geometry)."""
+    import imageio.v2 as imageio
+    import numpy as np
+
+    from geomconsistentfr_tpu.preprocess import crop_face, detect_faces_sfd
+
+    img = np.asarray(imageio.imread(args.image))
+    if args.box:
+        box = tuple(float(v) for v in args.box.split(","))
+        assert len(box) == 4, "--box expects x1,y1,x2,y2"
+    else:
+        detections = detect_faces_sfd(img)
+        if not detections:
+            print(json.dumps({"error": "no face detected"}))
+            return 1
+        box = tuple(detections[0][:4])
+    crop = crop_face(img, box)
+    if crop is None:
+        print(json.dumps({"error": "face below 200px minimum"}))
+        return 1
+    imageio.imwrite(args.out_image, np.asarray(crop, np.uint8))
+    print(json.dumps({"out": args.out_image}))
+    return 0
+
+
 def cmd_build_cache(args) -> int:
     from geomconsistentfr_tpu.data import build_cache
 
@@ -280,6 +306,12 @@ def main(argv=None) -> int:
     p.add_argument("--mask", required=True)
     p.add_argument("--out-image", default=None)
     p.set_defaults(fn=cmd_fix_border)
+
+    p = sub.add_parser("crop", help="face-crop preprocessing (reference geometry)")
+    p.add_argument("--image", required=True)
+    p.add_argument("--box", default=None, help="x1,y1,x2,y2 (else run detector)")
+    p.add_argument("--out-image", required=True)
+    p.set_defaults(fn=cmd_crop)
 
     p = sub.add_parser("build-cache", help="pack MP_data into memmaps")
     p.add_argument("--src", required=True)
