@@ -172,5 +172,19 @@ def load_relighter(
     else:
         from geomconsistentfr_tpu.convert import load_relightnet_variables
 
-        variables = jax.tree.map(jnp.asarray, load_relightnet_variables(checkpoint_path))
+        variables = load_relightnet_variables(checkpoint_path)
+
+    # Transfer-variant weights (1x1 bias-free shortcuts) embed exactly into
+    # the target architecture; auto-convert when the config asks for 'target'
+    # but the checkpoint is transfer-shaped (the reference's own target
+    # checkpoint is a missing blob upstream).
+    shortcut = variables["params"].get("conv_shortcut_h1_out", {})
+    ckpt_is_transfer = (
+        "kernel" in shortcut and tuple(shortcut["kernel"].shape[:2]) == (1, 1)
+    )
+    if cfg.model.variant == "target" and ckpt_is_transfer:
+        from geomconsistentfr_tpu.convert import transfer_to_target_variant
+
+        variables = transfer_to_target_variant(variables)
+    variables = jax.tree.map(jnp.asarray, variables)
     return Relighter(cfg, variables, use_skips=use_skips)
