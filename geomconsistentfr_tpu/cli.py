@@ -160,10 +160,14 @@ def cmd_eval_multipie(args) -> int:
 def cmd_train(args) -> int:
     import numpy as np
 
-    from geomconsistentfr_tpu.config import PRESETS
+    from geomconsistentfr_tpu.config import PRESETS, load_config
     from geomconsistentfr_tpu.train import Trainer
 
-    cfg = PRESETS[args.preset or "target_lighting_train"]()
+    preset = args.preset or "target_lighting_train"
+    if args.config:
+        cfg = load_config(args.config, preset=preset)
+    else:
+        cfg = PRESETS[preset]()
     if args.data == "synthetic":
         from geomconsistentfr_tpu.data import SyntheticFaceData
 
@@ -290,6 +294,7 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("train", help="self-supervised GAN training")
     p.add_argument("--preset", default=None)
+    p.add_argument("--config", default=None, help="JSON PipelineConfig overrides")
     p.add_argument("--data", default="synthetic", help="cache dir or 'synthetic'")
     p.add_argument("--synthetic-samples", type=int, default=64)
     p.add_argument("--epochs", type=int, default=1000)

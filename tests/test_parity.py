@@ -103,6 +103,39 @@ def test_rendered_psnr_north_star(outputs, fixture):
     assert psnr >= 45.0, f"rendered PSNR {psnr:.2f} dB below target"
 
 
+def test_target_lighting_path_parity():
+    """End-to-end parity of the single_image (target-lighting) preset against
+    the reference test_relight_single_image forward — run with the embedded
+    transfer->target weights (fixture from tools/make_golden_fixture_target.py).
+    Covers the target-variant 3x3 shortcuts, ambient est-0.1, the inside-image
+    +5.0 gate, and f=1570 intrinsics."""
+    if not os.path.exists(CKPT):
+        pytest.skip("reference checkpoint unavailable")
+    import dataclasses
+
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.infer import load_relighter
+
+    fx = np.load(
+        os.path.join(os.path.dirname(__file__), "golden", "ref_target_00295.npz")
+    )
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, conv_precision="highest")
+    )
+    rl = load_relighter(CKPT, cfg=cfg)  # auto-embeds transfer -> target
+    out = rl.forward(fx["image"][None], fx["mask"][None], target_light=fx["target_light"])
+
+    got = np.asarray(out.rendered)
+    want = _nchw_to_nhwc(fx["rendered"])
+    mse = float(np.mean((got - want) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= 45.0, f"target-path rendered PSNR {psnr:.2f} dB"
+
+    sw = np.asarray(out.shadow_mask_weights)
+    assert np.abs(sw - fx["shadow_weights"].reshape(sw.shape)).mean() < 1e-3
+
+
 def test_rendered_psnr_default_precision(fixture):
     """The fast (default-precision) path still clears the 40 dB north star."""
     if not os.path.exists(CKPT):
