@@ -69,6 +69,41 @@ def test_pallas_light_inside_image():
     _compare(BASE, lights, seed=2)
 
 
+def test_argmin_t_output(monkeypatch):
+    """t* from the forward kernel is the offset of the winning sample."""
+    import jax
+
+    cfg = BASE
+    rng = np.random.default_rng(7)
+    depth = jnp.asarray(rng.normal(size=(1, 64, 64)).astype(np.float32) * 30)
+    mask = jnp.ones((1, 64, 64))
+    light = jnp.asarray([[0.5, 0.1, 0.86]], np.float32) * cfg.light_distance
+
+    min_d, t_star = SP.ray_march_min_distance_pallas(
+        depth, mask, light, cfg, interpret=True, return_argmin_t=True
+    )
+    # Explicit per-step distances via the single-step evaluator.
+    dists = np.stack(
+        [
+            np.asarray(
+                S.sample_distance_at(depth[0], mask[0], light[0], float(t), cfg)
+            )
+            for t in S.sample_ts(cfg)
+        ]
+    )
+    want_min = dists.min(axis=0)
+    got_min = np.asarray(min_d[0])
+    agree = np.isclose(got_min, want_min, atol=1e-3)
+    assert agree.mean() > 0.999
+
+    # The recorded t* reproduces the min when re-evaluated.
+    re_eval = np.asarray(
+        S.sample_distance_at(depth[0], mask[0], light[0], np.asarray(t_star[0]), cfg)
+    )
+    close = np.isclose(re_eval, got_min, atol=1e-3)
+    assert close.mean() > 0.999
+
+
 def test_custom_vjp_matches_pure_jax_grad(monkeypatch):
     """Gradient through the Pallas wrapper == gradient of the pure-JAX march."""
     import functools
