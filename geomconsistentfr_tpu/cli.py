@@ -168,6 +168,10 @@ def cmd_train(args) -> int:
         cfg = load_config(args.config, preset=preset)
     else:
         cfg = PRESETS[preset]()
+    if args.debug_nans:
+        from geomconsistentfr_tpu.utils.profiling import debug_nans
+
+        debug_nans(True)
     if args.data == "synthetic":
         from geomconsistentfr_tpu.data import SyntheticFaceData
 
@@ -176,7 +180,7 @@ def cmd_train(args) -> int:
         from geomconsistentfr_tpu.data import CelebAHQRelightingData
 
         data = CelebAHQRelightingData(args.data)
-    trainer = Trainer(cfg, data=data, workdir=args.out)
+    trainer = Trainer(cfg, data=data, workdir=args.out, profile=args.profile)
     state = trainer.init_or_resume()
     rng = np.random.default_rng(cfg.train.seed)
     start_epoch = int(state.step) // cfg.train.batches_per_epoch
@@ -295,6 +299,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("train", help="self-supervised GAN training")
     p.add_argument("--preset", default=None)
     p.add_argument("--config", default=None, help="JSON PipelineConfig overrides")
+    p.add_argument("--debug-nans", action="store_true", help="jax_debug_nans fault isolation")
+    p.add_argument("--profile", action="store_true", help="jax.profiler device traces")
     p.add_argument("--data", default="synthetic", help="cache dir or 'synthetic'")
     p.add_argument("--synthetic-samples", type=int, default=64)
     p.add_argument("--epochs", type=int, default=1000)
