@@ -4,6 +4,13 @@ Background threads assemble float32 batches from the packed memmap cache and
 keep a bounded prefetch queue, so host IO overlaps device compute. Falls back
 transparently to the pure-numpy CelebAHQRelightingData when the shared library
 cannot be built. Built on first use with g++ -O3 (no external deps).
+
+Honest positioning: when the cache is page-cache-hot, numpy's vectorised
+fancy-indexing path is comparable or faster (~870 vs ~540 batches/s measured
+here — both ~100x beyond what the 0.4 s/step trainer consumes). The native
+loader earns its keep on cold reads from disk/NFS, where the worker threads
+hide IO latency behind device compute, and as the substrate for future
+direct-JPEG decoding (TODO.md).
 """
 
 from __future__ import annotations
