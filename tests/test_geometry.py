@@ -71,6 +71,29 @@ def test_depth_to_normals_vs_torch_oracle():
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_constant_depth_is_a_sphere():
+    """Independent check of the normalized-ray unprojection semantics
+    (kornia 0.4.1 `unproject_points(..., normalize=True)`): constant depth R
+    means |P| = R — a camera-centred SPHERE, whose surface normals are radial
+    (parallel to the ray). Under the alternative z-depth convention the same
+    input would be a plane with normals (0,0,1); a wide FOV separates the two
+    unambiguously at off-centre pixels."""
+    h = w = 32
+    f = 8.0  # very wide FOV: corner rays tilt strongly
+    depth = jnp.full((h, w), 50.0)
+    pts = np.asarray(geometry.unproject_depth(depth, f, f, w / 2, h / 2))
+    np.testing.assert_allclose(np.linalg.norm(pts, axis=-1), 50.0, rtol=1e-5)
+
+    normals = np.asarray(geometry.depth_to_normals(depth[None], f, f, w / 2, h / 2))[0]
+    rays = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+    # Compare up to sign, away from the border (replicate-pad edge effects).
+    inner = (slice(4, -4), slice(4, -4))
+    dots = np.abs(np.sum(normals[inner] * rays[inner], axis=-1))
+    assert dots.min() > 0.999, float(dots.min())
+    # Discriminator: corner normals are far from (0,0,1).
+    assert abs(normals[6, 6, 2]) < 0.9
+
+
 def test_depth_to_normals_flat_plane_faces_camera():
     normals = np.asarray(
         geometry.depth_to_normals(jnp.full((1, 16, 16), 1610.0), 1570.0, 1570.0, 8.0, 8.0)
