@@ -107,12 +107,22 @@ def cmd_sweep(args) -> int:
     out = rl.relight_sweep(img, mask, lights, ambients)
     stem = os.path.splitext(os.path.basename(args.image))[0]
     mask3 = np.repeat(mask[..., None], 3, axis=-1)
+    tiles = []
     for i, name in enumerate(names):
-        write_image(
-            os.path.join(args.out, f"{stem}_{name}.png"),
-            np.asarray(out.rendered[i]) * mask3,
-        )
-    print(json.dumps({"num_lights": len(names), "out": args.out}))
+        tile = np.asarray(out.rendered[i]) * mask3
+        write_image(os.path.join(args.out, f"{stem}_{name}.png"), tile)
+        tiles.append(tile)
+    # Contact-sheet montage of the whole sweep.
+    cols = 4
+    rows = -(-len(tiles) // cols)
+    h, w, _ = tiles[0].shape
+    sheet = np.zeros((rows * h, cols * w, 3), np.float32)
+    for i, tile in enumerate(tiles):
+        r, c = divmod(i, cols)
+        sheet[r * h : (r + 1) * h, c * w : (c + 1) * w] = tile
+    write_image(os.path.join(args.out, f"{stem}_sweep_montage.png"), sheet)
+    print(json.dumps({"num_lights": len(names), "out": args.out,
+                      "montage": f"{stem}_sweep_montage.png"}))
     return 0
 
 
