@@ -142,6 +142,44 @@ def test_bottom_left_light_parity():
     assert np.abs(sw - fx["shadow_weights"].reshape(sw.shape)).mean() < 1e-3
 
 
+def test_inside_light_parity():
+    """Light xy inside the image: the endpoint IS the light (reference :400-402)
+    and every ray converges on it — the remaining endpoint family, end to end.
+    Also exercises the near-degenerate slope guards (+1e-4 epsilons)."""
+    if not os.path.exists(CKPT):
+        pytest.skip("reference checkpoint unavailable")
+    import dataclasses
+
+    from geomconsistentfr_tpu.config import preset_lighting_transfer
+    from geomconsistentfr_tpu.convert import load_relightnet_variables
+    from geomconsistentfr_tpu.infer import Relighter
+
+    fx = np.load(
+        os.path.join(
+            os.path.dirname(__file__), "golden", "ref_transfer_00322_insidelight.npz"
+        )
+    )
+    cfg = preset_lighting_transfer()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, conv_precision="highest")
+    )
+    variables = jax.tree.map(jnp.asarray, load_relightnet_variables(CKPT))
+    rl = Relighter(cfg, variables)
+    out = rl.forward(
+        fx["image"][None],
+        fx["mask"][None],
+        target_light=fx["target_light"],
+        target_ambient=fx["target_ambient"],
+    )
+    got = np.asarray(out.rendered)
+    want = _nchw_to_nhwc(fx["rendered"])
+    mse = float(np.mean((got - want) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= 45.0, f"inside-light PSNR {psnr:.2f} dB"
+    sw = np.asarray(out.shadow_mask_weights)
+    assert np.abs(sw - fx["shadow_weights"].reshape(sw.shape)).mean() < 1e-3
+
+
 def test_target_lighting_path_parity():
     """End-to-end parity of the single_image (target-lighting) preset against
     the reference test_relight_single_image forward — run with the embedded
