@@ -319,6 +319,7 @@ class Trainer:
             from geomconsistentfr_tpu.utils.profiling import trace
 
             profile_ctx = trace(os.path.join(self.workdir, "profile"))
+        logged = 0
         with profile_ctx:
             for j in range(tcfg.batches_per_epoch):
                 batch = self.data.sample_batch(rng, tcfg.batch_size)
@@ -327,8 +328,9 @@ class Trainer:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     for k, v in m.items():
                         sums[k] = sums.get(k, 0.0) + v
+                    logged += 1
         elapsed = time.time() - t0
-        avg = {k: v / tcfg.batches_per_epoch for k, v in sums.items()}
+        avg = {k: v / max(logged, 1) for k, v in sums.items()}
         avg["epoch"] = epoch
         avg["seconds"] = elapsed
         self.metrics_log.append(avg)
