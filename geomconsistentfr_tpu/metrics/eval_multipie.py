@@ -110,12 +110,43 @@ def run_inference(
     n = len(inputs) if limit is None else min(limit, len(inputs))
 
     os.makedirs(output_dir, exist_ok=True)
-    for i in range(n):
-        img = read_image(os.path.join(input_dir, inputs[i]), size=size)
-        mask = read_mask(os.path.join(mask_fill_nose_dir, masks[i]), size=size)
-        idx = int(gts[i].split(".")[0].split("_")[-1]) - 1
-        light = np.asarray(directions[idx], np.float32)[None]
-        out = relighter.forward(img[None], mask[None], target_light=light)
-        stem = inputs[i].split(".")[0]
-        save_render_outputs(output_dir, stem, out, mask)
+    # Device work is batched (one jit dispatch per batch_size images); the
+    # reference loops the whole network one image at a time (:587-601).
+    for start in range(0, n, batch_size):
+        stop = min(start + batch_size, n)
+        imgs, msks, lights = [], [], []
+        for i in range(start, stop):
+            imgs.append(read_image(os.path.join(input_dir, inputs[i]), size=size))
+            msks.append(
+                read_mask(os.path.join(mask_fill_nose_dir, masks[i]), size=size)
+            )
+            idx = int(gts[i].split(".")[0].split("_")[-1]) - 1
+            lights.append(directions[idx])
+        # Pad the tail so one compiled shape serves every batch.
+        pad = batch_size - (stop - start)
+        if pad:
+            imgs += [imgs[-1]] * pad
+            msks += [msks[-1]] * pad
+            lights += [lights[-1]] * pad
+        out = relighter.forward(
+            np.stack(imgs),
+            np.stack(msks),
+            target_light=np.asarray(lights, np.float32),
+        )
+        out_np = {
+            field: np.asarray(getattr(out, field))
+            for field in (
+                "rendered", "albedo", "depth", "final_shading",
+                "shadow_mask_weights", "surface_normals",
+            )
+        }
+        for k, i in enumerate(range(start, stop)):
+            single = type(out)(
+                **{
+                    f: (out_np[f][k : k + 1] if f in out_np else getattr(out, f))
+                    for f in out._fields
+                }
+            )
+            stem = inputs[i].split(".")[0]
+            save_render_outputs(output_dir, stem, single, msks[k])
     return n
