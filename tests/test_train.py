@@ -118,6 +118,67 @@ def test_data_parallel_matches_single_device():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_training_is_deterministic():
+    """Same seed + same batches -> bitwise-identical states."""
+    cfg = _tiny_cfg(batch=1)
+    rng = np.random.default_rng(3)
+    batch = _batch(rng, 1, 32)
+    step = train_mod.make_single_device_step(cfg)
+
+    def run():
+        state = train_mod.init_state(cfg, jax.random.PRNGKey(7))
+        for _ in range(2):
+            state, _ = step(state, batch, (False, False, False, False))
+        return state
+
+    a, b = run(), run()
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_save_restore_mid_run_equivalence(tmp_path):
+    """step, checkpoint, restore, step == two straight steps."""
+    from geomconsistentfr_tpu.utils import checkpoint as ckpt
+
+    cfg = _tiny_cfg(batch=1)
+    rng = np.random.default_rng(4)
+    b1 = _batch(rng, 1, 32)
+    b2 = _batch(rng, 1, 32)
+    step = train_mod.make_single_device_step(cfg)
+    us = (False, False, False, False)
+
+    state = train_mod.init_state(cfg, jax.random.PRNGKey(9))
+    s1, _ = step(state, b1, us)
+    straight, _ = step(s1, b2, us)
+
+    path = str(tmp_path / "step_00000001")
+    ckpt.save_variables(path, s1)
+    restored = ckpt.restore_variables(path, template=jax.device_get(s1))
+    restored = jax.tree.map(jnp.asarray, restored)
+    resumed, _ = step(restored, b2, us)
+
+    for x, y in zip(jax.tree.leaves(straight), jax.tree.leaves(resumed)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-7)
+
+
+def test_profile_trace_writes_files(tmp_path):
+    from geomconsistentfr_tpu.utils.profiling import StepTimer, trace
+
+    with trace(str(tmp_path)):
+        _ = jnp.sum(jnp.arange(128.0) ** 2).block_until_ready()
+    import os
+
+    found = any("trace" in f or f.endswith(".pb") or "plugins" in f
+                for root, dirs, files in os.walk(tmp_path)
+                for f in list(files) + list(dirs))
+    assert found
+
+    timer = StepTimer()
+    with timer:
+        pass
+    assert timer.ms is not None and timer.ms >= 0
+
+
 def test_synthetic_data_schema():
     from geomconsistentfr_tpu.data import SyntheticFaceData
 
