@@ -319,16 +319,37 @@ class Trainer:
             from geomconsistentfr_tpu.utils.profiling import trace
 
             profile_ctx = trace(os.path.join(self.workdir, "profile"))
+        # Reference epoch structure when the dataset supports it: shuffled
+        # contiguous batch slots, first batches_per_epoch visited
+        # (train_*.py:578,593,606); otherwise i.i.d. sampling.
+        if hasattr(self.data, "epoch_batch_indices"):
+            index_iter = self.data.epoch_batch_indices(
+                rng, tcfg.batch_size, tcfg.batches_per_epoch
+            )
+            batches = (self.data.get_batch(idx) for idx in index_iter)
+        else:
+            batches = (
+                self.data.sample_batch(rng, tcfg.batch_size)
+                for _ in range(tcfg.batches_per_epoch)
+            )
+
         logged = 0
         with profile_ctx:
-            for j in range(tcfg.batches_per_epoch):
-                batch = self.data.sample_batch(rng, tcfg.batch_size)
+            for j, batch in enumerate(batches):
                 state, metrics = self.step_fn(state, batch, use_skips)
                 if (j + 1) % tcfg.log_every_steps == 0:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     for k, v in m.items():
                         sums[k] = sums.get(k, 0.0) + v
                     logged += 1
+                # Step-level checkpointing (the reference can only save at
+                # epoch end and cannot resume at all, train_*.py:684-685).
+                if (
+                    tcfg.checkpoint_every_steps
+                    and (j + 1) % tcfg.checkpoint_every_steps == 0
+                    and (j + 1) < tcfg.batches_per_epoch
+                ):
+                    self.save(state)
         elapsed = time.time() - t0
         avg = {k: v / max(logged, 1) for k, v in sums.items()}
         avg["epoch"] = epoch
