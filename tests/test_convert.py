@@ -129,6 +129,28 @@ def test_torch_batchnorm_train_semantics():
     )
 
 
+def test_real_checkpoint_roundtrip_exact():
+    """load -> Flax -> back to torch layout reproduces model_epoch106 exactly."""
+    import os
+
+    if not os.path.exists("/root/reference/model_lighting_transfer/model_epoch106.pth"):
+        pytest.skip("reference checkpoint unavailable")
+    from geomconsistentfr_tpu.convert import (
+        load_torch_checkpoint,
+        torch_state_to_variables,
+        variables_to_torch_state,
+    )
+
+    state = load_torch_checkpoint(
+        "/root/reference/model_lighting_transfer/model_epoch106.pth"
+    )
+    back = variables_to_torch_state(torch_state_to_variables(state))
+    for key, value in state.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(back[key], value, err_msg=key)
+
+
 def test_transfer_to_target_variant_identical_function():
     """The 1x1->3x3 shortcut embedding preserves the function exactly."""
     from geomconsistentfr_tpu.config import ModelConfig

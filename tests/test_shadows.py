@@ -154,6 +154,29 @@ def test_march_bias_gate():
     assert outside.min() < 5.0
 
 
+def test_march_chunk_size_invariance():
+    """march_chunk is a scan-width perf knob; results must be identical."""
+    import dataclasses
+
+    rng = np.random.default_rng(9)
+    depth = jnp.asarray(rng.normal(size=(32, 32)).astype(np.float32) * 20)
+    mask = jnp.asarray((rng.uniform(size=(32, 32)) > 0.2).astype(np.float32))
+    light = jnp.asarray([900.0, -500.0, 3800.0])
+    base = RenderConfig(
+        img_height=32, img_width=32, num_sample_points=40, t_stop=0.225
+    )
+    outs = [
+        np.asarray(
+            shadows.ray_march_min_distance(
+                depth, mask, light, dataclasses.replace(base, march_chunk=c)
+            )
+        )
+        for c in (1, 7, 40, 64)
+    ]
+    for other in outs[1:]:
+        np.testing.assert_array_equal(outs[0], other)
+
+
 def test_march_vmap_wrappers():
     cfg = RenderConfig(img_height=16, img_width=16, march_chunk=16)
     rng = np.random.default_rng(0)
