@@ -93,6 +93,36 @@ def test_missing_target_raises():
         )
 
 
+def test_no_nans_under_degenerate_inputs():
+    """Serving guard: extreme depths, zero masks and degenerate lights must
+    not produce NaN/Inf anywhere in the outputs (the reference's epsilon
+    guards are reproduced; this pins them)."""
+    import jax.numpy as jnp
+
+    b = 3
+    albedo = jnp.full((b, 32, 32, 3), 0.5)
+    depth = jnp.stack([
+        jnp.zeros((32, 32)),                 # flat zero
+        jnp.full((32, 32), 1e4),             # huge
+        jnp.full((32, 32), -1e4),            # huge negative
+    ])
+    lighting = jnp.asarray([
+        [0.0, 0.0, 0.0, 0.0],                # all-zero head output
+        [5.0, 1.0, 0.0, -3.0],               # negative z (clamped)
+        [-2.0, 0.0, 0.0, 0.0],               # zero direction
+    ])
+    mask = jnp.stack([
+        jnp.zeros((32, 32)),                 # fully off-face
+        jnp.ones((32, 32)),
+        jnp.ones((32, 32)),
+    ])
+    cfg = dataclasses.replace(BASE, lighting_mode="self_estimated")
+    out = render(albedo, depth, lighting, mask, cfg)
+    for field in out._fields:
+        arr = np.asarray(getattr(out, field))
+        assert np.isfinite(arr).all(), field
+
+
 def test_bias_gate_and_composite_blend():
     """A mostly-frontal light keeps its xy inside the wide gate -> +5 bias ->
     weights near 1; the composite follows w*full + (1-w)*ambient exactly."""
