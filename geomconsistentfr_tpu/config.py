@@ -98,7 +98,15 @@ class RenderConfig:
     # 'highest' = true float32 (bit-close parity), 'default' = fast bf16
     # passes (~1e-3 relative depth-sample error; shadow weights saturate, so
     # the rendered-image impact is far below the 40 dB north-star budget).
+    # (lax.Precision.HIGH is not implemented by Mosaic for Pallas dots.)
     shadow_matmul_precision: str = "highest"
+
+    # Pallas shadow kernel tiling (performance knobs only; semantics fixed):
+    # rows of the image per grid cell, and rows per in-kernel slab (the
+    # (slab*W, W) gather-matmul's M extent is slab_rows*W — larger slabs mean
+    # fewer, bigger matmuls but more live VMEM).
+    shadow_tile_rows: int = 8
+    shadow_slab_rows: int = 4
 
     @property
     def half_w(self) -> float:

@@ -189,6 +189,86 @@ def sample_distance_at(
     return jnp.where(sample_mask == 0, _OFF_FACE_DISTANCE, distances)
 
 
+def sample_distance_at_matmul(
+    depth: Array,
+    mask: Array,
+    light_point: Array,
+    t: Array,
+    cfg: RenderConfig,
+) -> Array:
+    """`sample_distance_at`, reformulated gather-free (two-hot matmuls).
+
+    Value-identical to `sample_distance_at` (up to measure-zero integral
+    shifted coordinates, where the clamped-hat form matches the f64 math
+    *better* than the reference's zero-weight f32 corner — see module parity
+    notes). The payoff is the VJP: the bilinear lookup's transpose becomes a
+    matmul instead of an XLA scatter, which is the fast path on TPU. Used by
+    the Pallas kernel's backward (argmin-sample gradient).
+    """
+    h, w = cfg.img_height, cfg.img_width
+    dtype = depth.dtype
+    xx, yy = pixel_grid_centered(h, w, dtype=dtype)
+    light_x, light_y = light_point[0], light_point[1]
+    ex, ey = border_endpoints(xx, yy, light_x, light_y, cfg)
+    bc_x = light_x - xx
+    bc_y = light_y - yy
+    bc_z = light_point[2] - depth
+    denominator = jnp.sqrt(bc_x * bc_x + bc_y * bc_y + bc_z * bc_z + _EPS)
+
+    t2 = jnp.broadcast_to(jnp.asarray(t, dtype), (h, w))
+    sx = xx + t2 * (ex - xx)
+    sy = yy + t2 * (ey - yy)
+
+    p = h * w
+    cls_w = jnp.arange(w, dtype=dtype)
+    cls_h = jnp.arange(h, dtype=dtype)
+
+    # Banker's-rounded indices for the mask veto (:449-454), one-hot matmul.
+    xr = jnp.clip(jnp.round(sx) + cfg.half_w, 0, w - 1).reshape(p, 1)
+    yr = jnp.clip(cfg.half_h - jnp.round(sy), 0, h - 1).reshape(p, 1)
+    indicator_t = jnp.swapaxes((mask != 0).astype(dtype), -1, -2)
+    onehot_x = (cls_w[None, :] == xr).astype(dtype)
+    mrows = jax.lax.dot_general(
+        onehot_x,
+        indicator_t,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    on_face = jnp.sum(
+        mrows * (cls_h[None, :] == yr).astype(dtype), axis=1
+    ).reshape(h, w)
+
+    # Bilinear depth lookup at -1e-4-shifted coordinates (:457-471) as a
+    # clamped-hat two-hot matmul over x, then a hat-weighted lane reduce
+    # over y (exactly the Pallas forward's algebra).
+    xt = sx + cfg.half_w - _EPS
+    yt = (cfg.half_h - sy) - _EPS
+    xtc = jnp.clip(xt, 0.0, w - 1.0).reshape(p, 1)
+    ytc = jnp.clip(yt, 0.0, h - 1.0).reshape(p, 1)
+    hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(cls_w[None, :] - xtc))
+    b = jax.lax.dot_general(
+        hat_x,
+        jnp.swapaxes(depth, -1, -2),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(cls_h[None, :] - ytc))
+    d_interp = jnp.sum(b * hat_y, axis=1).reshape(h, w)
+
+    # Sample 3D point keeps the shifted xy (:473-476).
+    ba_x = (xt - cfg.half_w) - xx
+    ba_y = (cfg.half_h - yt) - yy
+    ba_z = d_interp - depth
+    cross_x = ba_y * bc_z - ba_z * bc_y
+    cross_y = ba_z * bc_x - ba_x * bc_z
+    cross_z = ba_x * bc_y - ba_y * bc_x
+    numerator = jnp.sqrt(
+        cross_x * cross_x + cross_y * cross_y + cross_z * cross_z + _EPS
+    )
+    distances = numerator / denominator
+    return jnp.where(on_face == 0, _OFF_FACE_DISTANCE, distances)
+
+
 def ray_march_min_distance(
     depth: Array,
     mask: Array,

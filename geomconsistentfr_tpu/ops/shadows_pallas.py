@@ -76,8 +76,9 @@ def _march_kernel(
     # computes its own coordinates/endpoints, runs its own step loop, and
     # stores through a static ref slice — no cross-slab vector slicing or
     # concatenation (Mosaic rejects sublane slices of live vectors here).
-    n_sub = 2 if tr >= 8 else 1
-    sub = tr // n_sub
+    sub = min(cfg.shadow_slab_rows, tr)
+    assert tr % sub == 0, (tr, sub)
+    n_sub = tr // sub
 
     left = -w / 2.0
     right = w - w / 2.0 - 1.0
@@ -266,14 +267,16 @@ def _vjp_fwd(depth, mask, light_point, cfg):
 def _vjp_bwd(cfg, residuals, g):
     # d(min_s f_s)/dx = d f_{s*}/dx: differentiate ONLY the winning sample
     # (t* recorded by the forward kernel) — 1/num_sample_points of the
-    # march's gather work, exact a.e. (ties are measure-zero). The chain
-    # through the border endpoints (light gradient) is included, matching
-    # the reference autograd.
+    # march's work, exact a.e. (ties are measure-zero). The chain through
+    # the border endpoints (light gradient) is included, matching the
+    # reference autograd. The evaluator is the matmul (gather-free) form,
+    # whose depth-gradient transposes to a matmul rather than an XLA
+    # scatter — the fast path on TPU.
     depth, mask, light_point, t_star = residuals
 
     def winning_distance(d, l):
         return jax.vmap(
-            lambda dd, mm, ll, tt: shadows_ref.sample_distance_at(
+            lambda dd, mm, ll, tt: shadows_ref.sample_distance_at_matmul(
                 dd, mm, ll, tt, cfg
             )
         )(d, mask, l, t_star)
@@ -291,7 +294,7 @@ def ray_march_min_distance_pallas(
     mask: Array,
     light_point: Array,
     cfg: RenderConfig,
-    tile_rows: int = 8,
+    tile_rows: int | None = None,
     interpret: bool = False,
     return_argmin_t: bool = False,
 ):
@@ -301,6 +304,8 @@ def ray_march_min_distance_pallas(
     pixel (used by the backward pass)."""
     b, h, w = depth.shape
     assert (h, w) == (cfg.img_height, cfg.img_width), (depth.shape, cfg)
+    if tile_rows is None:
+        tile_rows = min(cfg.shadow_tile_rows, h)
     assert h % tile_rows == 0
     n_tiles = h // tile_rows
 
@@ -328,11 +333,10 @@ def ray_march_min_distance_pallas(
     indicator_t = pad_batch(indicator_t)
     light2d = jnp.concatenate([light2d, jnp.zeros((1, 3), jnp.float32)], axis=0)
 
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if cfg.shadow_matmul_precision == "highest"
-        else jax.lax.Precision.DEFAULT
-    )
+    precision = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }[cfg.shadow_matmul_precision]
     kernel = functools.partial(
         _march_kernel, cfg=cfg, tile_rows=tile_rows, precision=precision
     )

@@ -9,6 +9,7 @@ model-level parity test once weights are convertible (tests/test_parity.py).
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from geomconsistentfr_tpu.config import RenderConfig
@@ -198,3 +199,63 @@ def test_march_vmap_wrappers():
             shadows.ray_march_min_distance(depths[0], masks[0], lights[0], cfg)
         ),
     )
+
+
+class TestMatmulEvaluator:
+    """sample_distance_at_matmul == sample_distance_at, values and gradients.
+
+    The matmul form is what the Pallas march's backward differentiates (its
+    depth gradient transposes to a matmul instead of a scatter), so it must
+    track the gather form bit-for-bit away from measure-zero tie coordinates.
+    """
+
+    CFG = RenderConfig(
+        img_height=64,
+        img_width=64,
+        num_sample_points=32,
+        t_start=0.025,
+        t_stop=0.185,
+        march_chunk=32,
+    )
+
+    def _inputs(self, seed=3):
+        rng = np.random.default_rng(seed)
+        depth = jnp.asarray(rng.normal(size=(64, 64)).astype(np.float32) * 30)
+        mask = jnp.asarray(
+            (rng.uniform(size=(64, 64)) > 0.15).astype(np.float32)
+        )
+        light = jnp.asarray([0.45, -0.2, 0.87], np.float32) * self.CFG.light_distance
+        t = jnp.asarray(
+            rng.uniform(0.05, 0.8, size=(64, 64)).astype(np.float32)
+        )
+        return depth, mask, light, t
+
+    def test_values_match_gather_form(self):
+        depth, mask, light, t = self._inputs()
+        want = np.asarray(shadows.sample_distance_at(depth, mask, light, t, self.CFG))
+        got = np.asarray(
+            shadows.sample_distance_at_matmul(depth, mask, light, t, self.CFG)
+        )
+        big = want >= 1e5
+        assert (big == (got >= 1e5)).all()
+        np.testing.assert_allclose(got[~big], want[~big], rtol=1e-5, atol=1e-4)
+
+    def test_grads_match_gather_form(self):
+        depth, mask, light, t = self._inputs(seed=9)
+
+        def loss(fn, d, l):
+            return jnp.sum(jnp.tanh(fn(d, mask, l, t, self.CFG)))
+
+        g_d, g_l = jax.grad(
+            lambda d, l: loss(shadows.sample_distance_at, d, l), argnums=(0, 1)
+        )(depth, light)
+        m_d, m_l = jax.grad(
+            lambda d, l: loss(shadows.sample_distance_at_matmul, d, l),
+            argnums=(0, 1),
+        )(depth, light)
+        np.testing.assert_allclose(
+            np.asarray(m_d), np.asarray(g_d), rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_l), np.asarray(g_l), rtol=1e-3, atol=1e-4
+        )
