@@ -146,6 +146,24 @@ def cmd_eval_multipie(args) -> int:
         run_inference,
     )
 
+    lpips_fn = None
+    if args.lpips_trunk or args.lpips_random_trunk:
+        from geomconsistentfr_tpu.models.lpips import LPIPSMetric, load_trunk_state
+
+        trunk = load_trunk_state(args.lpips_trunk) if args.lpips_trunk else None
+        lpips_fn = LPIPSMetric(
+            lin_weights_path=args.lpips_lin,
+            trunk_state=trunk,
+            allow_random_trunk=args.lpips_random_trunk,
+        )
+    else:
+        print(
+            "note: LPIPS skipped — no AlexNet trunk weights supplied "
+            "(pass --lpips-trunk <torchvision alexnet .pth/.npz>); reporting "
+            "masked MSE/DSSIM/PSNR only",
+            file=sys.stderr,
+        )
+
     rl = _relighter(args, "multipie_eval")
     root = args.data_root
     n = run_inference(
@@ -161,6 +179,7 @@ def cmd_eval_multipie(args) -> int:
         args.out,
         os.path.join(root, "groundtruth_images_MP_18_lightings"),
         os.path.join(root, "MP_depth_masks_fill_nose"),
+        lpips_fn=lpips_fn,
     )
     metrics["num_inferred"] = n
     print(json.dumps(metrics))
@@ -304,6 +323,23 @@ def main(argv=None) -> int:
     _add_common_model_args(p)
     p.add_argument("--data-root", required=True)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument(
+        "--lpips-trunk",
+        default=None,
+        help="AlexNet trunk weights (.pth/.pt torchvision state_dict or .npz)"
+        " — enables the masked spatial LPIPS metric (test_network.py:30-52)",
+    )
+    p.add_argument(
+        "--lpips-lin",
+        default="/root/reference/PerceptualSimilarity/lpips/weights/v0.1/alex.pth",
+        help="LPIPS linear-head weights (bundled with the reference)",
+    )
+    p.add_argument(
+        "--lpips-random-trunk",
+        action="store_true",
+        help="SMOKE ONLY: random AlexNet trunk (exercises the LPIPS path "
+        "without torchvision weights; numbers are not the calibrated metric)",
+    )
     p.set_defaults(fn=cmd_eval_multipie)
 
     p = sub.add_parser("train", help="self-supervised GAN training")

@@ -28,25 +28,52 @@ from geomconsistentfr_tpu.metrics.image_metrics import (
 )
 
 
+def _stem_id(name: str) -> Optional[str]:
+    """First digit run in a filename stem — the image id in the MP layout."""
+    import re
+
+    m = re.search(r"\d+", os.path.splitext(name)[0])
+    return str(int(m.group(0))) if m else None  # zero-padding-insensitive
+
+
 def evaluate_output_dir(
     output_dir: str,
     gt_dir: str,
     mask_dir: str,
     lpips_fn=None,
 ) -> Dict[str, float]:
-    """Score a 6-files-per-image inference dump against ground truth."""
+    """Score a 6-files-per-image inference dump against ground truth.
+
+    The reference pairs `sorted()` listings purely positionally (the rendered
+    image is the 3rd of each 6-file group: DSSIM_MP_RGB.m:3-4,
+    test_network.py:23-24), so one stray file silently mispairs everything
+    after it. Here rendered images are selected by their `_rendered_image`
+    suffix and each rendered/GT/mask triple must agree on its parsed image id
+    (first digit run of the stem) — a mispairing raises instead of skewing
+    the metrics.
+    """
     import imageio.v2 as imageio
 
     outputs = sorted(os.listdir(output_dir))
-    rendered = outputs[2::6]  # 3rd of each 6-file group (sorted): *_rendered_image
+    rendered = [
+        f for f in outputs if os.path.splitext(f)[0].endswith("_rendered_image")
+    ]
     gts = sorted(os.listdir(gt_dir))
     masks = sorted(os.listdir(mask_dir))
-    assert len(rendered) == len(gts) == len(masks), (
-        len(rendered), len(gts), len(masks),
-    )
+    if not (len(rendered) == len(gts) == len(masks)):
+        raise ValueError(
+            f"count mismatch: {len(rendered)} rendered vs {len(gts)} GT vs "
+            f"{len(masks)} masks"
+        )
 
     mses, dssims, psnrs, lpipss = [], [], [], []
     for pred_name, gt_name, mask_name in zip(rendered, gts, masks):
+        ids = {
+            n: _stem_id(n) for n in (pred_name, gt_name, mask_name)
+        }
+        known = {v for v in ids.values() if v is not None}
+        if len(known) > 1:
+            raise ValueError(f"mispaired eval triple (image ids differ): {ids}")
         pred = np.asarray(
             imageio.imread(os.path.join(output_dir, pred_name)), np.float64
         ) / 255.0

@@ -115,6 +115,38 @@ def load_lin_weights(path: str) -> Dict[str, dict]:
     return params
 
 
+def load_trunk_state(path: str) -> Dict[str, "np.ndarray"]:
+    """Load a torchvision-AlexNet state_dict from .pth/.pt (torch) or .npz.
+
+    Accepts either the bare `features.N.weight/bias` layout or a checkpoint
+    nesting it under 'state_dict'. Returns numpy arrays keyed exactly like
+    the torchvision state_dict (what `convert_alexnet_features` expects).
+    """
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            state = {k: np.asarray(z[k]) for k in z.files}
+    else:
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(raw, dict) and "state_dict" in raw:
+            raw = raw["state_dict"]
+        state = {
+            k: v.detach().cpu().numpy()
+            for k, v in raw.items()
+            if hasattr(v, "detach")
+        }
+    missing = [
+        f"features.{sid}.{kind}"
+        for sid in (0, 3, 6, 8, 10)
+        for kind in ("weight", "bias")
+        if f"features.{sid}.{kind}" not in state
+    ]
+    if missing:
+        raise ValueError(f"trunk state at {path} is missing keys: {missing}")
+    return state
+
+
 def convert_alexnet_features(state: Dict[str, "np.ndarray"]) -> Dict[str, dict]:
     """torchvision alexnet state_dict (features.N.weight/bias) -> trunk params."""
     conv_ids = [0, 3, 6, 8, 10]

@@ -91,3 +91,55 @@ def test_run_inference_and_evaluate(fake_eval_data, tmp_path):
     assert 0 <= metrics["masked_dssim_mean"] <= 0.5
     assert metrics["masked_mse_mean"] > 0
     assert np.isfinite(metrics["masked_psnr_mean"])
+
+
+def test_evaluate_with_real_lpips_metric(fake_eval_data, tmp_path):
+    """Full LPIPS path over a real inference dump: random trunk (no
+    torchvision in this env) + the reference's bundled lin-heads. The CLI
+    reaches this exact code via --lpips-random-trunk / --lpips-trunk."""
+    import dataclasses
+
+    from geomconsistentfr_tpu.config import preset_multipie_eval
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.metrics.eval_multipie import (
+        evaluate_output_dir,
+        run_inference,
+    )
+    from geomconsistentfr_tpu.models.lpips import LPIPSMetric
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+
+    cfg = preset_multipie_eval()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=64, img_width=64,
+            num_sample_points=16, t_stop=0.105, march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    rl = Relighter(cfg, variables)
+
+    out_dir = str(tmp_path / "dump")
+    run_inference(
+        rl,
+        input_dir=os.path.join(fake_eval_data, "input_images_MP_18_lightings"),
+        gt_dir=os.path.join(fake_eval_data, "groundtruth_images_MP_18_lightings"),
+        lighting_mat=os.path.join(fake_eval_data, "MP_lighting_directions.mat"),
+        mask_fill_nose_dir=os.path.join(fake_eval_data, "MP_depth_masks_fill_nose"),
+        output_dir=out_dir,
+    )
+    metric = LPIPSMetric(
+        lin_weights_path="/root/reference/PerceptualSimilarity/lpips/weights/v0.1/alex.pth",
+        allow_random_trunk=True,
+    )
+    metrics = evaluate_output_dir(
+        out_dir,
+        os.path.join(fake_eval_data, "groundtruth_images_MP_18_lightings"),
+        os.path.join(fake_eval_data, "MP_depth_masks_fill_nose"),
+        lpips_fn=metric,
+    )
+    assert "masked_lpips_mean" in metrics and "masked_lpips_std" in metrics
+    assert np.isfinite(metrics["masked_lpips_mean"])
+    assert metrics["masked_lpips_mean"] >= 0

@@ -94,3 +94,99 @@ def test_crop_geometry():
     assert out is not None and out.shape == (256, 256, 3)
     # Too-small faces are skipped (reference :38-39).
     assert crop_face(img, (0, 0, 100, 150)) is None
+
+
+def test_lpips_matches_torch_transcription_oracle():
+    """Flax LPIPS == reference-formula torch oracle with shared weights.
+
+    Validates the scaling layer, conv/pool geometry, unit-L2 normalisation
+    (eps 1e-10), squared diff, 1x1 lin heads, and the align_corners=False
+    bilinear spatial upsample against lpips/lpips.py:22-241 semantics.
+    """
+    import jax
+
+    from geomconsistentfr_tpu.models.lpips import LPIPSMetric
+    from tests.oracles.lpips_torch_oracle import lpips_spatial_torch
+
+    metric = LPIPSMetric(
+        lin_weights_path="/root/reference/PerceptualSimilarity/lpips/weights/v0.1/alex.pth",
+        allow_random_trunk=True,
+    )
+    params = metric._variables["params"]
+    trunk = jax.tree.map(np.asarray, dict(params["trunk"]))
+    lins = {k: jax.tree.map(np.asarray, dict(v))
+            for k, v in params.items() if k.startswith("lin")}
+
+    rng = np.random.default_rng(11)
+    a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.normal(size=a.shape), 0, 1).astype(np.float32)
+
+    got = metric(a, b)
+    want = lpips_spatial_torch(a, b, trunk, lins)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-5)
+
+
+def test_evaluate_output_dir_lpips_path(tmp_path):
+    """Full harness LPIPS branch: masked mean with the reference's
+    strictly-positive denominator (test_network.py:46-48)."""
+    import imageio.v2 as imageio
+
+    from geomconsistentfr_tpu.metrics.eval_multipie import evaluate_output_dir
+
+    out_dir = tmp_path / "dump"; out_dir.mkdir()
+    gt_dir = tmp_path / "gt"; gt_dir.mkdir()
+    mask_dir = tmp_path / "mask"; mask_dir.mkdir()
+    rng = np.random.default_rng(5)
+    img = (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8)
+    suffixes = ["albedo", "depth", "rendered_image", "shading",
+                "shadow_mask", "surface_normals"]
+    for s in suffixes:
+        imageio.imwrite(out_dir / f"img001_{s}.png", img)
+    imageio.imwrite(gt_dir / "img001_07.png", img)
+    mask = np.zeros((32, 32), np.uint8)
+    mask[4:20, 4:20] = 255
+    imageio.imwrite(mask_dir / "img001.png", mask)
+
+    # Distance map with zeros inside the mask: the reference divides by the
+    # count of strictly-positive masked products, not by the mask area.
+    dist = np.zeros((32, 32), np.float32)
+    dist[4:12, 4:12] = 2.0  # 64 positive pixels inside the 256-pixel mask
+
+    metrics = evaluate_output_dir(
+        str(out_dir), str(gt_dir), str(mask_dir), lpips_fn=lambda g, p: dist
+    )
+    assert metrics["masked_lpips_mean"] == pytest.approx(2.0)  # 128/64, not 128/256
+    assert metrics["masked_lpips_std"] == pytest.approx(0.0)
+
+
+def test_evaluate_output_dir_rejects_mispaired_triples(tmp_path):
+    """A stray/renamed file must raise, not silently mispair (VERDICT weak #6)."""
+    import imageio.v2 as imageio
+
+    from geomconsistentfr_tpu.metrics.eval_multipie import evaluate_output_dir
+
+    out_dir = tmp_path / "dump"; out_dir.mkdir()
+    gt_dir = tmp_path / "gt"; gt_dir.mkdir()
+    mask_dir = tmp_path / "mask"; mask_dir.mkdir()
+    img = np.zeros((16, 16, 3), np.uint8)
+    suffixes = ["albedo", "depth", "rendered_image", "shading",
+                "shadow_mask", "surface_normals"]
+    for stem in ("img001", "img002"):
+        for s in suffixes:
+            imageio.imwrite(out_dir / f"{stem}_{s}.png", img)
+        imageio.imwrite(mask_dir / f"{stem}.png", img[..., 0])
+    imageio.imwrite(gt_dir / "img001_03.png", img)
+    imageio.imwrite(gt_dir / "img004_05.png", img)  # renamed GT -> id mismatch
+
+    with pytest.raises(ValueError, match="mispaired"):
+        evaluate_output_dir(str(out_dir), str(gt_dir), str(mask_dir))
+
+    # A stray non-output file must not shift the 6-stride pairing.
+    imageio.imwrite(gt_dir / "img004_05.png", img)  # keep counts equal
+    os_err = None
+    (out_dir / "aaa_montage.png").write_bytes((out_dir / "img001_albedo.png").read_bytes())
+    try:
+        evaluate_output_dir(str(out_dir), str(gt_dir), str(mask_dir))
+    except ValueError as e:
+        os_err = e
+    assert os_err is not None  # still flags the renamed GT, not a stride shift
