@@ -131,3 +131,40 @@ def test_masked_composite():
     np.testing.assert_allclose(
         np.asarray(losses.masked_composite(r, img, mask)), np.asarray(r)
     )
+
+
+def test_ssim_matches_pytorch_msssim_oracle():
+    """ops/ssim.ssim vs the literal pytorch_msssim transcription (torch).
+
+    Gates the 8.0-weighted DSSIM loss term against the reference library's
+    algorithm rather than the builder's own float64 re-derivation.
+    """
+    import torch
+
+    from geomconsistentfr_tpu.ops.ssim import ssim as ssim_jax
+    from tests.oracles.msssim_oracle import ssim as ssim_oracle
+
+    rng = np.random.default_rng(21)
+    x = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+    y = np.clip(x + 0.15 * rng.normal(size=x.shape), 0, 1).astype(np.float32)
+
+    got = float(ssim_jax(jnp.asarray(x), jnp.asarray(y),
+                         data_range=1.0, nonnegative=True))
+    want = float(ssim_oracle(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        torch.from_numpy(y.transpose(0, 3, 1, 2)),
+        data_range=1.0, size_average=True, nonnegative_ssim=True,
+    ))
+    assert abs(got - want) < 1e-5, (got, want)
+
+    # Degenerate anti-correlated case exercises the nonnegative relu branch.
+    a = np.zeros((1, 16, 16, 1), np.float32); a[:, ::2] = 1.0
+    b = 1.0 - a
+    got = float(ssim_jax(jnp.asarray(a), jnp.asarray(b),
+                         data_range=1.0, nonnegative=True))
+    want = float(ssim_oracle(
+        torch.from_numpy(a.transpose(0, 3, 1, 2)),
+        torch.from_numpy(b.transpose(0, 3, 1, 2)),
+        data_range=1.0, size_average=True, nonnegative_ssim=True,
+    ))
+    assert abs(got - want) < 1e-6, (got, want)

@@ -95,6 +95,22 @@ def test_train_step_loss_parity():
         tfm = torch.from_numpy(face_mask)
         albedo_l = 5.0 * l1s(gray * tfm, talb * tfm) / torch.sum(tfm)
 
+        # DSSIM term (train_raytracing_...py:643): composite vs input through
+        # the pytorch_msssim transcription oracle — closes the round-1 gap
+        # where the 8.0-weighted term had no reference-library-backed check.
+        from tests.oracles.msssim_oracle import ssim as ssim_oracle
+
+        dssim_l = 8.0 * (
+            1.0
+            - ssim_oracle(
+                composite,
+                timg.permute(0, 3, 1, 2),
+                data_range=1.0,
+                size_average=True,
+                nonnegative_ssim=True,
+            )
+        ) / 2.0
+
     ref_losses = {
         "reconstruction": float(recon),
         "depth": float(depth_l),
@@ -104,6 +120,7 @@ def test_train_step_loss_parity():
         "generator": float(g_adv),
         "discriminator_fake": float(d_fake),
         "discriminator_real": float(d_real),
+        "dssim": float(dssim_l),
     }
 
     # ---- framework side ----
