@@ -211,10 +211,11 @@ def cmd_train(args) -> int:
         data = CelebAHQRelightingData(args.data)
     trainer = Trainer(cfg, data=data, workdir=args.out, profile=args.profile)
     state = trainer.init_or_resume()
-    rng = np.random.default_rng(cfg.train.seed)
     start_epoch = int(state.step) // cfg.train.batches_per_epoch
     for epoch in range(start_epoch, args.epochs):
-        state, metrics = trainer.run_epoch(state, epoch, rng)
+        # Per-epoch (seed, epoch)-derived shuffles inside run_epoch make a
+        # resumed run replay the uninterrupted batch order exactly.
+        state, metrics = trainer.run_epoch(state, epoch)
         trainer.save(state)
         print(json.dumps(metrics))
     return 0

@@ -306,11 +306,25 @@ class Trainer:
         ckpt.save_variables(path, state)
         return path
 
-    def run_epoch(self, state: TrainState, epoch: int, rng: np.random.Generator):
-        """One epoch: cfg.train.batches_per_epoch random batches (:606-607)."""
+    def run_epoch(
+        self,
+        state: TrainState,
+        epoch: int,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        """One epoch: cfg.train.batches_per_epoch random batches (:606-607).
+
+        The batch order is derived from (seed, epoch), NOT from a generator
+        threaded across epochs — so a run resumed at epoch N replays exactly
+        the batch stream an uninterrupted run would have seen (the reference
+        cannot resume at all, train_*.py:684-685). Passing `rng` explicitly
+        overrides this (used by tests that control the stream).
+        """
         import contextlib
 
         tcfg = self.cfg.train
+        if rng is None:
+            rng = np.random.default_rng([tcfg.seed, epoch])
         use_skips = self.cfg.model.skip_gates(epoch)
         sums: Dict[str, float] = {}
         t0 = time.time()
