@@ -104,9 +104,11 @@ class RenderConfig:
     # Pallas shadow kernel tiling (performance knobs only; semantics fixed):
     # rows of the image per grid cell, and rows per in-kernel slab (the
     # (slab*W, W) gather-matmul's M extent is slab_rows*W — larger slabs mean
-    # fewer, bigger matmuls but more live VMEM).
+    # fewer, bigger matmuls but more live VMEM). slab_rows=0 selects
+    # automatically: 8 for 'default' matmul precision, 4 for 'highest'
+    # (measured fastest that still compiles within VMEM on v5e).
     shadow_tile_rows: int = 8
-    shadow_slab_rows: int = 4
+    shadow_slab_rows: int = 0
 
     @property
     def half_w(self) -> float:

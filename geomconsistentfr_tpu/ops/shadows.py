@@ -195,6 +195,7 @@ def sample_distance_at_matmul(
     light_point: Array,
     t: Array,
     cfg: RenderConfig,
+    precision=None,
 ) -> Array:
     """`sample_distance_at`, reformulated gather-free (two-hot matmuls).
 
@@ -227,12 +228,15 @@ def sample_distance_at_matmul(
     xr = jnp.clip(jnp.round(sx) + cfg.half_w, 0, w - 1).reshape(p, 1)
     yr = jnp.clip(cfg.half_h - jnp.round(sy), 0, h - 1).reshape(p, 1)
     indicator_t = jnp.swapaxes((mask != 0).astype(dtype), -1, -2)
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     onehot_x = (cls_w[None, :] == xr).astype(dtype)
+    # 1.0 x {0,1} products are exact at any precision.
     mrows = jax.lax.dot_general(
         onehot_x,
         indicator_t,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.DEFAULT,
     )
     on_face = jnp.sum(
         mrows * (cls_h[None, :] == yr).astype(dtype), axis=1
@@ -250,7 +254,7 @@ def sample_distance_at_matmul(
         hat_x,
         jnp.swapaxes(depth, -1, -2),
         dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(cls_h[None, :] - ytc))
     d_interp = jnp.sum(b * hat_y, axis=1).reshape(h, w)

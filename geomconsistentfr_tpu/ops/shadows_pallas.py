@@ -27,6 +27,7 @@ or 'default' (bf16 passes, ~3x faster, ~1e-3 relative depth error).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -76,7 +77,10 @@ def _march_kernel(
     # computes its own coordinates/endpoints, runs its own step loop, and
     # stores through a static ref slice — no cross-slab vector slicing or
     # concatenation (Mosaic rejects sublane slices of live vectors here).
-    sub = min(cfg.shadow_slab_rows, tr)
+    slab = cfg.shadow_slab_rows
+    if slab == 0:  # auto: largest slab that compiles within VMEM per precision
+        slab = 8 if cfg.shadow_matmul_precision == "default" else 4
+    sub = min(slab, tr)
     assert tr % sub == 0, (tr, sub)
     n_sub = tr // sub
 
@@ -274,11 +278,24 @@ def _vjp_bwd(cfg, residuals, g):
     # scatter — the fast path on TPU.
     depth, mask, light_point, t_star = residuals
 
+    # Escape hatch for on-chip A/B measurement: the gather/scatter form.
+    if os.environ.get("GCFR_SHADOW_BWD") == "gather":
+        evaluator = shadows_ref.sample_distance_at
+    else:
+        import functools as _ft
+
+        evaluator = _ft.partial(
+            shadows_ref.sample_distance_at_matmul,
+            precision=(
+                jax.lax.Precision.DEFAULT
+                if cfg.shadow_matmul_precision == "default"
+                else jax.lax.Precision.HIGHEST
+            ),
+        )
+
     def winning_distance(d, l):
         return jax.vmap(
-            lambda dd, mm, ll, tt: shadows_ref.sample_distance_at_matmul(
-                dd, mm, ll, tt, cfg
-            )
+            lambda dd, mm, ll, tt: evaluator(dd, mm, ll, tt, cfg)
         )(d, mask, l, t_star)
 
     _, pullback = jax.vjp(winning_distance, depth, light_point)
