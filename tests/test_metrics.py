@@ -82,3 +82,27 @@ def test_fix_border_no_mask_is_identity():
     np.testing.assert_array_equal(
         fix_border_artifacts(img, np.zeros((16, 16))), img
     )
+
+
+def test_golden_drift_report_structure():
+    """The committed drift report tracks all 10 bundled FFHQ goldens.
+
+    Regenerate with tools/golden_drift_report.py; it is a tracked distance
+    (the goldens' generating checkpoint is a missing blob upstream), so the
+    test validates structure and sane ranges, not exact values.
+    """
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", "golden_drift.json")
+    with open(path) as f:
+        report = json.load(f)
+    from geomconsistentfr_tpu.lighting_presets import GOLDEN_FFHQ_PRESETS
+
+    stems = set(report) - {"_meta"}
+    assert stems == set(GOLDEN_FFHQ_PRESETS)
+    for stem in stems:
+        entry = report[stem]
+        assert entry["preset"] == GOLDEN_FFHQ_PRESETS[stem]
+        assert 20.0 < entry["psnr_db"] < 60.0, (stem, entry)
+        assert 0.0 <= entry["masked_dssim"] < 0.1, (stem, entry)

@@ -83,6 +83,62 @@ def bench_march(specs):
             emit({"exp": "march", "spec": spec, "error": repr(e)[:500]})
 
 
+def bench_march_grad(specs):
+    """Time forward+backward through the march alone (value_and_grad)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.ops.shadows_pallas import (
+        ray_march_min_distance_pallas_vjp,
+    )
+
+    base = preset_single_image().render
+    batch = int(os.environ.get("SWEEP_TRAIN_BATCH", "3"))
+    rng = np.random.default_rng(0)
+    depth = jnp.asarray(rng.normal(size=(batch, 256, 256)).astype(np.float32) * 30)
+    mask = jnp.asarray((rng.uniform(size=(batch, 256, 256)) > 0.2).astype(np.float32))
+    lights = jnp.tile(
+        jnp.asarray([[0.3, 0.4, 0.8660254]], np.float32) * base.light_distance,
+        (batch, 1),
+    )
+
+    for prec in specs:
+        cfg = dataclasses.replace(base, shadow_matmul_precision=prec)
+
+        @jax.jit
+        def run(d, m, l, salt):
+            def loss(dd):
+                out = ray_march_min_distance_pallas_vjp(dd, m, l, cfg)
+                return jnp.sum(jnp.tanh(out))
+
+            v, g = jax.value_and_grad(loss)(d + salt * 1e-7)
+            return v + g.sum()
+
+        try:
+            t0 = time.perf_counter()
+            float(run(depth, mask, lights, jnp.float32(0)))
+            compile_s = time.perf_counter() - t0
+            iters = 3
+            t0 = time.perf_counter()
+            for i in range(iters):
+                float(run(depth, mask, lights, jnp.float32(i + 1)))
+            dt = (time.perf_counter() - t0) / iters
+            emit(
+                {
+                    "exp": "march_grad",
+                    "precision": prec,
+                    "bwd": os.environ.get("GCFR_SHADOW_BWD", "matmul"),
+                    "batch": batch,
+                    "sec_per_batch": round(dt, 4),
+                    "compile_s": round(compile_s, 1),
+                }
+            )
+        except Exception as e:  # noqa: BLE001
+            emit({"exp": "march_grad", "precision": prec, "error": repr(e)[:500]})
+
+
 def bench_train(modes):
     import numpy as np
     import jax
@@ -159,6 +215,8 @@ def main():
     what = sys.argv[1]
     if what == "march":
         bench_march(sys.argv[2:])
+    elif what == "march_grad":
+        bench_march_grad(sys.argv[2:])
     elif what == "train":
         bench_train(sys.argv[2:])
     else:
