@@ -190,3 +190,71 @@ def test_evaluate_output_dir_rejects_mispaired_triples(tmp_path):
     except ValueError as e:
         os_err = e
     assert os_err is not None  # still flags the renamed GT, not a stride shift
+
+
+def test_dist2logit_matches_reference_formula():
+    """Dist2Logit == a numpy transcription of lpips.py:169-184 with shared
+    weights (feature order d0,d1,d0-d1,d0/(d1+.1),d1/(d0+.1); LReLU 0.2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geomconsistentfr_tpu.metrics.lpips_train import Dist2Logit
+
+    net = Dist2Logit()
+    rng = np.random.default_rng(3)
+    d0 = jnp.asarray(rng.uniform(0.01, 1.0, (6,)).astype(np.float32))
+    d1 = jnp.asarray(rng.uniform(0.01, 1.0, (6,)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), d0, d1)["params"]
+    got = np.asarray(net.apply({"params": params}, d0, d1))
+
+    def np_conv1x1(x, kernel, bias):  # x: (B, C); kernel: (1,1,C,O)
+        return x @ np.asarray(kernel)[0, 0] + np.asarray(bias)
+
+    def lrelu(x):
+        return np.where(x > 0, x, 0.2 * x)
+
+    d0n, d1n = np.asarray(d0), np.asarray(d1)
+    feats = np.stack(
+        [d0n, d1n, d0n - d1n, d0n / (d1n + 0.1), d1n / (d0n + 0.1)], axis=-1
+    )
+    h = lrelu(np_conv1x1(feats, params["fc0"]["kernel"], params["fc0"]["bias"]))
+    h = lrelu(np_conv1x1(h, params["fc1"]["kernel"], params["fc1"]["bias"]))
+    logit = np_conv1x1(h, params["fc2"]["kernel"], params["fc2"]["bias"])[:, 0]
+    want = 1.0 / (1.0 + np.exp(-logit))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_2afc_trainer_learns_and_clamps():
+    """A few optimisation steps on separable synthetic 2AFC triples: the
+    ranking loss decreases, accuracy reaches 1.0 on the (easy) data, and the
+    lin-head kernels stay >= 0 (reference clamp_weights semantics)."""
+    import jax
+
+    from geomconsistentfr_tpu.metrics.lpips_train import (
+        LPIPS2AFCTrainer,
+        compute_accuracy,
+    )
+
+    rng = np.random.default_rng(7)
+    b = 4
+    ref = rng.uniform(0.2, 0.8, (b, 64, 64, 3)).astype(np.float32)
+    p0 = np.clip(ref + 0.01 * rng.normal(size=ref.shape), 0, 1).astype(np.float32)
+    p1 = rng.uniform(size=ref.shape).astype(np.float32)
+    judge = np.zeros((b,), np.float32)  # humans prefer p0 (judge = frac for p1)
+    batch = {"ref": ref, "p0": p0, "p1": p1, "judge": judge}
+
+    trainer = LPIPS2AFCTrainer(allow_random_trunk=True, lr=3e-3, seed=1)
+    losses = [trainer.train_step(batch)["loss_total"] for _ in range(40)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.2 * losses[0], (losses[0], losses[-1])
+
+    ev = trainer.evaluate(batch)
+    assert ev["acc_r"] == 1.0  # metric orders the easy pairs correctly
+    for leaf in jax.tree.leaves(trainer.params["lin"]):
+        assert np.asarray(leaf).min() >= 0.0
+
+    # accuracy formula parity (trainer.py:138-142)
+    a = compute_accuracy(
+        np.asarray([0.2, 0.9]), np.asarray([0.5, 0.1]), np.asarray([0.0, 1.0])
+    )
+    assert float(a) == 1.0
