@@ -204,7 +204,9 @@ def cmd_train(args) -> int:
     if args.data == "synthetic":
         from geomconsistentfr_tpu.data import SyntheticFaceData
 
-        data = SyntheticFaceData(num_samples=args.synthetic_samples)
+        data = SyntheticFaceData(
+            num_samples=args.synthetic_samples, size=cfg.render.img_height
+        )
     else:
         from geomconsistentfr_tpu.data import CelebAHQRelightingData
 

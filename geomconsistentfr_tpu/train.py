@@ -306,6 +306,29 @@ class Trainer:
         ckpt.save_variables(path, state)
         return path
 
+    def _device_prefetch(self, batches, depth: int = 2):
+        """Double-buffer host->device transfers ahead of the consuming step."""
+        from collections import deque
+
+        if self.mesh.devices.size > 1:
+            from geomconsistentfr_tpu.parallel.mesh import device_put_sharded_batch
+
+            def put(b):
+                return device_put_sharded_batch(b, self.mesh)
+        else:
+            device = self.mesh.devices.flat[0]
+
+            def put(b):
+                return jax.device_put(b, device)
+
+        queue = deque()
+        for b in batches:
+            queue.append(put(b))
+            if len(queue) >= depth:
+                yield queue.popleft()
+        while queue:
+            yield queue.popleft()
+
     def run_epoch(
         self,
         state: TrainState,
@@ -346,6 +369,11 @@ class Trainer:
                 self.data.sample_batch(rng, tcfg.batch_size)
                 for _ in range(tcfg.batches_per_epoch)
             )
+        # Async device prefetch: start batch k+1's host->device transfer while
+        # step k executes (device_put returns immediately). Measured on the
+        # axon tunnel: the per-step numpy upload otherwise costs ~0.25 s of
+        # the 0.49 s train step at batch 3.
+        batches = self._device_prefetch(batches)
 
         logged = 0
         with profile_ctx:

@@ -179,6 +179,10 @@ def bench_train(modes):
                 np.asarray([[0.0, 0.7071, 0.7071]], np.float32), (batch, 1)
             ),
         }
+        if os.environ.get("SWEEP_DEVICE_PUT") == "1":
+            import jax.numpy as jnp
+
+            batch_np = {k: jnp.asarray(v) for k, v in batch_np.items()}
         use_skips = (True, True, True, True)
         try:
             t0 = time.perf_counter()

@@ -42,6 +42,13 @@ def main() -> None:
         "light_gt": np.tile(np.asarray([[0.0, 0.7071, 0.7071]], np.float32), (batch, 1)),
     }
 
+    # Device-resident batch: measures the step itself. In real training the
+    # Trainer's async prefetch hides the host->device transfer (which costs
+    # ~0.25 s/step over the axon tunnel if paid synchronously).
+    import jax.numpy as jnp
+
+    batch_np = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
     use_skips = (True, True, True, True)
     t0 = time.perf_counter()
     state, metrics = step(state, batch_np, use_skips)
