@@ -95,20 +95,46 @@ class RenderConfig:
     use_pallas_shadows: bool = True
 
     # MXU precision inside the Pallas shadow kernel's gather-matmuls:
-    # 'highest' = true float32 (bit-close parity), 'default' = fast bf16
-    # passes (~1e-3 relative depth-sample error; shadow weights saturate, so
-    # the rendered-image impact is far below the 40 dB north-star budget).
-    # (lax.Precision.HIGH is not implemented by Mosaic for Pallas dots.)
+    # 'highest' = true float32 (bit-close parity), 'high' = manual bf16x3
+    # split (~2^-18 relative error, ~half the strict cost; Mosaic has no
+    # lax.Precision.HIGH so the kernel splits operands itself), 'default' =
+    # fast single-pass bf16 (~1e-3 relative depth-sample error; shadow
+    # weights saturate, so the rendered-image impact is far below the
+    # 40 dB north-star budget).
     shadow_matmul_precision: str = "highest"
 
     # Pallas shadow kernel tiling (performance knobs only; semantics fixed):
     # rows of the image per grid cell, and rows per in-kernel slab (the
     # (slab*W, W) gather-matmul's M extent is slab_rows*W — larger slabs mean
     # fewer, bigger matmuls but more live VMEM). slab_rows=0 selects
-    # automatically: 8 for 'default' matmul precision, 4 for 'highest'
-    # (measured fastest that still compiles within VMEM on v5e).
+    # automatically (8, the largest that compiles within VMEM on v5e).
     shadow_tile_rows: int = 8
     shadow_slab_rows: int = 0
+
+    # Unroll factor of the in-kernel march step loop (perf knob only).
+    shadow_unroll: int = 1
+
+    # How the kernel gathers the face-mask veto per march sample:
+    #   'onehot'  exact one-hot matmul at the banker's-rounded coordinate
+    #             (bit-matches the reference veto);
+    #   'hat'     reuse the depth lookup's hat weights on a widened
+    #             [depth | indicator] operand and threshold the interpolated
+    #             indicator at 0.5 — one matmul instead of two and two fewer
+    #             VPU builds per step. Selects the nearest tap of the
+    #             -1e-4-shifted coordinate, which can differ from the
+    #             reference's rounded coordinate within 1e-4 of half-integer
+    #             sample positions (measure-zero band; fast-mode only).
+    #   'auto'    currently 'onehot' (measured on v5e: 'hat' saves <1% —
+    #             the widened matmul offsets the two saved VPU builds — so
+    #             the exact veto wins at equal speed).
+    shadow_mask_gather: str = "auto"
+
+    # How the kernel's per-step (SUB, W, H) -> (SUB, W) weighted reductions
+    # run: 'vpu' = lane-axis jnp.sum (~8 cross-lane passes), 'mxu' = ones-
+    # vector matvec on the MXU (one elementwise pass + a nearly-free
+    # matmul; bit-identical in f32, used at HIGHEST precision in strict
+    # mode). 'auto' picks the faster measured option per platform.
+    shadow_reduce: str = "auto"
 
     @property
     def half_w(self) -> float:

@@ -13,15 +13,20 @@ so the kernel reformulates the lookup as structured matmuls:
     B = Wx @ depth^T yields the x-interpolated depth at EVERY image row per
     sample: B[p, r] = wx0 * depth[r, x0_p] + wx1 * depth[r, x1_p].
   * y-axis: the two row taps (y0, y1) become a two-hot mask over B's lane
-    axis, reduced on the VPU: d~[p] = sum_r B[p, r] * Wy[p, r].
+    axis; the weighted lane reduction runs either as a VPU cross-lane sum
+    or as a ones-vector MXU matvec (RenderConfig.shadow_reduce).
   * mask veto: a one-hot matmul over the 0/1 face indicator gathers
-    indicator[yr, xr] exactly (a single 1.0 x {0,1} product per output).
+    indicator[yr, xr] exactly (a single 1.0 x {0,1} product per output);
+    RenderConfig.shadow_mask_gather='hat' folds it into a widened depth
+    matmul instead (approximate at half-integer knife edges).
 
 All tensors stay in VMEM; reshapes only collapse/split sublane-major dims
 (free relayouts). Grid = (batch, row-tiles); the sample steps run in a
-fori_loop carrying the running min. Matmul precision is configurable via
-RenderConfig.shadow_matmul_precision: 'highest' (true f32, bit-close parity)
-or 'default' (bf16 passes, ~3x faster, ~1e-3 relative depth error).
+fori_loop carrying the running min (the argmin offset t* is carried and
+stored only when the training path asks for it). Matmul precision is
+configurable via RenderConfig.shadow_matmul_precision: 'highest' (true
+f32, bit-close parity) or 'default' (bf16 passes, faster, ~1e-3 relative
+depth error); tiling via shadow_tile_rows/shadow_slab_rows.
 """
 
 from __future__ import annotations
@@ -50,16 +55,20 @@ _OFF_FACE_N2 = 1.0e30
 def _march_kernel(
     ts_ref,           # (S, 1) f32 SMEM: sample offsets
     light_ref,        # (B, 3) f32 SMEM: light points (indexed by program_id 0)
-    depth_t_ref,      # (1, W, H) f32 VMEM: transposed depth
+    operand_t_ref,    # (1, W, H) depth^T — or (1, W, 2H) [depth^T|indicator^T] in hat mode
     depth_tile_ref,   # (1, TILE, W) f32 VMEM: this tile's own depth rows
-    indicator_t_ref,  # (1, W, H) f32 VMEM: transposed 0/1 face indicator
-    out_ref,          # (1, TILE, W) f32 VMEM: min distance
-    tstar_ref,        # (1, TILE, W) f32 VMEM: argmin parametric offset t*
-    *,
+    *rest_refs,       # [indicator_t_ref (onehot mode)], out_ref, [tstar_ref (training)]
     cfg: RenderConfig,
     tile_rows: int,
     precision,
+    unroll: int,
+    mask_hat: bool,
+    want_tstar: bool,
 ):
+    rest = list(rest_refs)
+    indicator_t_ref = None if mask_hat else rest.pop(0)
+    out_ref = rest.pop(0)
+    tstar_ref = rest.pop(0) if want_tstar else None
     h, w = cfg.img_height, cfg.img_width
     tr = tile_rows
     img = pl.program_id(0)
@@ -69,8 +78,42 @@ def _march_kernel(
     ly = light_ref[img, 1]
     lz = light_ref[img, 2]
 
-    depth_t = depth_t_ref[0]          # (W, H)
-    indicator_t = indicator_t_ref[0]  # (W, H)
+    operand_t = operand_t_ref[0]      # (W, H) or (W, 2H)
+    indicator_t = None if mask_hat else indicator_t_ref[0]  # (W, H)
+
+    # 'high' precision: ~f32-accurate gather via a manual bf16 split —
+    # W @ D ≈ Whi@Dhi + Whi@Dlo + Wlo@Dhi, three single-pass bf16 matmuls
+    # (relative error ~2^-18, far below the parity budget) instead of
+    # HIGHEST's ~6 passes. Operand split happens once per grid cell.
+    if precision == "high":
+        op_hi_f32 = operand_t.astype(jnp.bfloat16).astype(jnp.float32)
+        op_hi = op_hi_f32.astype(jnp.bfloat16)
+        op_lo = (operand_t - op_hi_f32).astype(jnp.bfloat16)
+
+    def gather_dot(wx2d):
+        """(P, W) f32 weights @ operand -> (P, H or 2H) f32."""
+        if precision == "high":
+            whi_f32 = wx2d.astype(jnp.bfloat16).astype(jnp.float32)
+            whi = whi_f32.astype(jnp.bfloat16)
+            wlo = (wx2d - whi_f32).astype(jnp.bfloat16)
+
+            def d(a, b):
+                return jax.lax.dot_general(
+                    a,
+                    b,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+
+            return d(whi, op_hi) + d(whi, op_lo) + d(wlo, op_hi)
+        return jax.lax.dot_general(
+            wx2d,
+            operand_t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
 
     # The per-step temporaries are (SUB, W, W); the tile is processed in
     # independent row slabs to stay inside the 16 MB VMEM budget. Each slab
@@ -78,8 +121,10 @@ def _march_kernel(
     # stores through a static ref slice — no cross-slab vector slicing or
     # concatenation (Mosaic rejects sublane slices of live vectors here).
     slab = cfg.shadow_slab_rows
-    if slab == 0:  # auto: largest slab that compiles within VMEM per precision
-        slab = 8 if cfg.shadow_matmul_precision == "default" else 4
+    if slab == 0:
+        # auto: 8-row slabs compile within VMEM for every precision mode now
+        # that the mask reduce runs on the MXU (and measure fastest on v5e).
+        slab = 8
     sub = min(slab, tr)
     assert tr % sub == 0, (tr, sub)
     n_sub = tr // sub
@@ -98,6 +143,40 @@ def _march_kernel(
         # non-integer coords (always the case after the -1e-4 shift), and the
         # clamp reproduces the clipped-edge taps.
         return jnp.maximum(0.0, 1.0 - jnp.abs(cls - coord[..., None]))
+
+    ones_h = jnp.ones((h, 1), jnp.float32)
+
+    def reduce_h(x3, w3, exact_products: bool):
+        """sum(x3 * w3, axis=-1): (SUB, W, H) -> (SUB, W).
+
+        'mxu' mode: one elementwise pass + a ones-matvec on the MXU instead
+        of ~8 cross-lane VPU passes. exact_products marks 1.0 x {0,1}
+        selections that are exact at any matmul precision. 'auto' (measured
+        on v5e): MXU for exact products and for fast (bf16) mode, VPU for
+        strict f32 values — a HIGHEST-precision matvec costs more than the
+        cross-lane sum it replaces.
+        """
+        mode = cfg.shadow_reduce
+        if mode == "auto":
+            use_mxu = exact_products or precision == jax.lax.Precision.DEFAULT
+        else:
+            use_mxu = mode == "mxu"
+        red_precision = (
+            jax.lax.Precision.HIGHEST if precision == "high" else precision
+        )
+        prod = x3 * w3
+        if not use_mxu:
+            return jnp.sum(prod, axis=2)
+        out = jax.lax.dot_general(
+            prod.reshape(sub * w, h),
+            ones_h,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=(
+                jax.lax.Precision.DEFAULT if exact_products else red_precision
+            ),
+        )
+        return out.reshape(sub, w, 1)[:, :, 0]
 
     if cfg.shadow_bias_gate == "inside_image":
         lo_x, hi_x = -cfg.half_w, cfg.img_width - cfg.half_w - 1.0
@@ -163,13 +242,15 @@ def _march_kernel(
         def step(s, carry, xx=xx, yy=yy, diff_x=diff_x, diff_y=diff_y,
                  bc_x=bc_x, bc_y=bc_y, bc_z=bc_z, denom=denom,
                  depth_px=depth_px):
-            min_acc, tbest = carry
+            if tstar_ref is not None:
+                min_acc, tbest = carry
+            else:
+                min_acc = carry
             t = ts_ref[s, 0]
             sx = xx + t * diff_x
             sy = yy + t * diff_y
 
-            # Rounded indices for the mask veto (:449-454).
-            xr = jnp.clip(jnp.round(sx) + w / 2.0, 0, w - 1)
+            # Rounded row index for the mask veto (:449-454).
             yr = jnp.clip(h / 2.0 - jnp.round(sy), 0, h - 1)
 
             # Bilinear coordinates, -1e-4 shifted (:457-471).
@@ -180,33 +261,46 @@ def _march_kernel(
 
             # Hat x-weights -> MXU: B[p, r] = x-interpolated depth at row r.
             wx = hat(cls_wf, xtc).reshape(sub * w, w)
-            b = jax.lax.dot_general(
-                wx,
-                depth_t,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            ).reshape(sub, w, h)
+            onehot_yr = jnp.where(cls_hf == yr[..., None], 1.0, 0.0)
 
-            # Hat y reduction on the VPU (lane-axis reduce -> (SUB, W)).
-            d_interp = jnp.sum(b * hat(cls_hf, ytc), axis=2)
+            if mask_hat:
+                # One widened matmul gathers depth AND the hat-interpolated
+                # indicator; thresholding the indicator at 0.5 selects the
+                # nearest tap's value (the taps are {0,1} and the two hat
+                # weights sum to 1). The depth interp is bit-identical to
+                # onehot mode (same shifted weights); the veto differs from
+                # the reference's banker's-rounded gather only at samples
+                # whose position lands within 1e-4 of a half-integer —
+                # including the systematic exact-half hits from integer
+                # pixel-to-border spans, ~0.3% of pixels on random masks
+                # (see RenderConfig.shadow_mask_gather).
+                bw = gather_dot(wx).reshape(sub, w, 2 * h)
+                b = bw[:, :, :h]
+                d_interp = reduce_h(b, hat(cls_hf, ytc), exact_products=False)
+                vsel = reduce_h(bw[:, :, h:], onehot_yr, exact_products=True)
+                on_face = jnp.where(vsel > 0.5, 1.0, 0.0)
+            else:
+                b = gather_dot(wx).reshape(sub, w, h)
 
-            # Mask veto: one-hot gather of the 0/1 indicator. A single
-            # 1.0 x {0,1} product per output is exact even in bf16 passes,
-            # so this matmul always uses the fast default precision.
-            ind_onehot = jnp.where(
-                cls_wf == xr[..., None], 1.0, 0.0
-            ).reshape(sub * w, w)
-            mrows = jax.lax.dot_general(
-                ind_onehot,
-                indicator_t,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            ).reshape(sub, w, h)
-            on_face = jnp.sum(
-                mrows * jnp.where(cls_hf == yr[..., None], 1.0, 0.0), axis=2
-            )
+                # Hat y reduction (lane-axis reduce -> (SUB, W)).
+                d_interp = reduce_h(b, hat(cls_hf, ytc), exact_products=False)
+
+                # Mask veto: one-hot gather of the 0/1 indicator at the
+                # banker's-rounded x (:449-454). A single 1.0 x {0,1}
+                # product per output is exact even in bf16 passes, so this
+                # matmul always uses the fast default precision.
+                xr = jnp.clip(jnp.round(sx) + w / 2.0, 0, w - 1)
+                ind_onehot = jnp.where(
+                    cls_wf == xr[..., None], 1.0, 0.0
+                ).reshape(sub * w, w)
+                mrows = jax.lax.dot_general(
+                    ind_onehot,
+                    indicator_t,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                ).reshape(sub, w, h)
+                on_face = reduce_h(mrows, onehot_yr, exact_products=True)
 
             # 3D point-to-line distance (:478-487); sample xy keeps the
             # shift. The per-pixel denominator is constant across steps and
@@ -221,18 +315,25 @@ def _march_kernel(
             cz = ba_x * bc_y - ba_y * bc_x
             n2 = cx * cx + cy * cy + cz * cz
             n2 = jnp.where(on_face == 0.0, _OFF_FACE_N2, n2)
+            if tstar_ref is None:
+                return jnp.minimum(min_acc, n2)
             better = n2 < min_acc
             return jnp.minimum(min_acc, n2), jnp.where(better, t, tbest)
 
-        min_n2, t_star = jax.lax.fori_loop(
-            0,
-            ts_ref.shape[0],
-            step,
-            (
-                jnp.full((sub, w), jnp.inf, jnp.float32),
-                jnp.zeros((sub, w), jnp.float32),
-            ),
-        )
+        init_min = jnp.full((sub, w), jnp.inf, jnp.float32)
+        if tstar_ref is None:
+            min_n2 = jax.lax.fori_loop(
+                0, ts_ref.shape[0], step, init_min, unroll=unroll
+            )
+            t_star = None
+        else:
+            min_n2, t_star = jax.lax.fori_loop(
+                0,
+                ts_ref.shape[0],
+                step,
+                (init_min, jnp.zeros((sub, w), jnp.float32)),
+                unroll=unroll,
+            )
         min_d = jnp.sqrt(min_n2 + _EPS) / denom
         # Off-face sentinel: reproduce the exact 1e6 constant (:490).
         min_d = jnp.where(min_n2 >= _OFF_FACE_N2, _OFF_FACE, min_d)
@@ -243,7 +344,8 @@ def _march_kernel(
             )
 
         out_ref[0, k * sub : (k + 1) * sub, :] = min_d
-        tstar_ref[0, k * sub : (k + 1) * sub, :] = t_star
+        if tstar_ref is not None:
+            tstar_ref[0, k * sub : (k + 1) * sub, :] = t_star
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -352,36 +454,62 @@ def ray_march_min_distance_pallas(
 
     precision = {
         "highest": jax.lax.Precision.HIGHEST,
+        "high": "high",  # manual bf16x3 split inside the kernel
         "default": jax.lax.Precision.DEFAULT,
     }[cfg.shadow_matmul_precision]
+    mask_mode = cfg.shadow_mask_gather
+    if mask_mode == "auto":
+        mask_mode = "onehot"  # measured: 'hat' saves <1% on v5e; exact wins
+    mask_hat = {"hat": True, "onehot": False}[mask_mode]
     kernel = functools.partial(
-        _march_kernel, cfg=cfg, tile_rows=tile_rows, precision=precision
+        _march_kernel,
+        cfg=cfg,
+        tile_rows=tile_rows,
+        precision=precision,
+        unroll=cfg.shadow_unroll,
+        mask_hat=mask_hat,
+        want_tstar=return_argmin_t,
     )
 
-    out_block = pl.BlockSpec(
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tile_block = pl.BlockSpec(
         (1, tile_rows, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
+    if mask_hat:
+        # Widened operand: the single hat matmul gathers depth and indicator.
+        operand_t = jnp.concatenate([depth_t, indicator_t], axis=-1)  # (B, W, 2H)
+        inputs = [jnp.asarray(ts), light2d, operand_t, depth_in]
+        in_specs = [
+            smem,
+            smem,
+            pl.BlockSpec((1, w, 2 * h), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            tile_block,
+        ]
+    else:
+        inputs = [jnp.asarray(ts), light2d, depth_t, depth_in, indicator_t]
+        in_specs = [
+            smem,
+            smem,
+            pl.BlockSpec((1, w, h), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            tile_block,
+            pl.BlockSpec((1, w, h), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    # The argmin offset t* is only produced for the training path; inference
+    # skips its carry/select/store entirely.
+    n_out = 2 if return_argmin_t else 1
     # Outputs are padded by one image as well (same pipeline-lookahead
     # workaround as the inputs); the grid never visits the pad.
-    min_d, t_star = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((b + 1, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((b + 1, h, w), jnp.float32),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((b + 1, h, w), jnp.float32) for _ in range(n_out)
         ),
         grid=(b, n_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, w, h), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_rows, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, h), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(out_block, out_block),
+        in_specs=in_specs,
+        out_specs=tuple(tile_block for _ in range(n_out)),
         interpret=interpret,
-    )(jnp.asarray(ts), light2d, depth_t, depth_in, indicator_t)
-    min_d = min_d[:b]
-    t_star = t_star[:b]
+    )(*inputs)
     if return_argmin_t:
-        return min_d, t_star
-    return min_d
+        return outs[0][:b], outs[1][:b]
+    return outs[0][:b]

@@ -141,3 +141,65 @@ def test_custom_vjp_matches_pure_jax_grad(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(gp_l), np.asarray(gr_l), rtol=0.02, atol=1e-3
     )
+
+
+def test_pallas_hat_mask_gather_mode():
+    """'hat' veto (widened-operand matmul) vs the exact one-hot reference.
+
+    The nearest tap of the -1e-4-shifted coordinate can differ from the
+    reference's banker's-rounded coordinate within 1e-4 of half-integer
+    sample positions, so the sentinel bound is slightly looser than the
+    exact mode's.
+    """
+    cfg = dataclasses.replace(
+        BASE, shadow_matmul_precision="default", shadow_mask_gather="hat"
+    )
+    rng = np.random.default_rng(13)
+    lights = (
+        np.asarray([[0.3, 0.4, 0.866], [-0.6, 0.1, 0.79]], np.float32)
+        * BASE.light_distance
+    )
+    depth = jnp.asarray(rng.normal(size=(2, 64, 64)).astype(np.float32) * 30)
+    mask = jnp.asarray(
+        (rng.uniform(size=(2, 64, 64)) > 0.1).astype(np.float32)
+    )
+    want = np.asarray(
+        S.ray_march_min_distance_batch(depth, mask, jnp.asarray(lights), BASE)
+    )
+    got = np.asarray(
+        SP.ray_march_min_distance_pallas(
+            depth, mask, jnp.asarray(lights), cfg, interpret=True
+        )
+    )
+    big_w = want >= 1e5
+    big_g = got >= 1e5
+    assert (big_w == big_g).mean() > 0.999
+    both = ~(big_w | big_g)
+    diff = np.abs(got - want)[both]
+    # Depth interp is bit-identical to the exact mode; the veto flips only
+    # at half-integer knife-edge samples (~0.3% of pixels on random masks,
+    # large |diff| there; see RenderConfig.shadow_mask_gather).
+    assert (diff > 1e-2).mean() < 5e-3, float((diff > 1e-2).mean())
+    assert np.median(diff) < 1e-5
+
+
+def test_pallas_high_precision_split():
+    """'high' (manual bf16x3 split) tracks the f32 reference to ~1e-3 worst
+    case and keeps the veto sentinels exact."""
+    cfg = dataclasses.replace(BASE, shadow_matmul_precision="high")
+    rng = np.random.default_rng(0)
+    lights = (
+        jnp.asarray([[0.3, 0.4, 0.866], [-0.6, 0.1, 0.79]], jnp.float32)
+        * BASE.light_distance
+    )
+    depth = jnp.asarray(rng.normal(size=(2, 64, 64)).astype(np.float32) * 30)
+    mask = jnp.asarray((rng.uniform(size=(2, 64, 64)) > 0.1).astype(np.float32))
+    want = np.asarray(S.ray_march_min_distance_batch(depth, mask, lights, BASE))
+    got = np.asarray(
+        SP.ray_march_min_distance_pallas(depth, mask, lights, cfg, interpret=True)
+    )
+    big = want >= 1e5
+    assert (big == (got >= 1e5)).all()
+    diff = np.abs(got - want)[~big]
+    assert diff.max() < 2e-3, float(diff.max())
+    assert diff.mean() < 2e-4

@@ -45,12 +45,15 @@ def bench_march(specs):
     )
 
     for spec in specs:
-        tile_s, slab_s, prec = spec.split(",")
+        parts = spec.split(",")
+        tile_s, slab_s, prec = parts[:3]
+        unroll = int(parts[3]) if len(parts) > 3 else 1
         cfg = dataclasses.replace(
             base,
             shadow_tile_rows=int(tile_s),
             shadow_slab_rows=int(slab_s),
             shadow_matmul_precision=prec,
+            shadow_unroll=unroll,
         )
 
         @jax.jit
@@ -73,6 +76,7 @@ def bench_march(specs):
                     "tile": int(tile_s),
                     "slab": int(slab_s),
                     "precision": prec,
+                    "unroll": unroll,
                     "batch": batch,
                     "sec_per_batch": round(dt, 4),
                     "ms_per_image": round(1000 * dt / batch, 2),
