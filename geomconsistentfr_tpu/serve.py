@@ -1,4 +1,4 @@
-"""Minimal production-style serving layer: HTTP relighting endpoint.
+"""Production-style serving layer: HTTP relighting endpoint with batching.
 
 The reference has no serving story (CLI scripts only); this exposes the
 Relighter over HTTP for deployment behind a load balancer:
@@ -12,8 +12,13 @@ Relighter over HTTP for deployment behind a load balancer:
   GET  /healthz    -> ok
 
 Run: python -m geomconsistentfr_tpu.serve --checkpoint model.pth --port 8400
-Single-threaded stdlib server; the jitted model executes one request at a
-time (the TPU is serialized anyway). For high QPS put batching in front.
+
+Request handling is threaded (decode/encode and socket IO run concurrently);
+device work funnels through a micro-batching executor that coalesces
+concurrent /relight requests into one padded device batch (TPU serving
+batches are fixed-shape, so only two shapes ever compile: batch 1 for idle
+traffic and --max-batch for bursts). The single worker thread also
+serializes device access, which the exclusive TPU requires.
 """
 
 from __future__ import annotations
@@ -22,7 +27,11 @@ import argparse
 import base64
 import io
 import json
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
@@ -53,7 +62,68 @@ def _encode_image(img01: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
-def make_handler(relighter):
+class MicroBatcher:
+    """Coalesce concurrent relight requests into one padded device batch.
+
+    submit() blocks the calling handler thread until its slice of the
+    batched forward is ready. The worker drains the queue for up to
+    window_ms after the first request, pads the batch to a fixed size
+    (one compiled shape per bucket: 1 or max_batch), runs one forward,
+    and scatters the per-request outputs back through Futures.
+    """
+
+    def __init__(self, relighter, max_batch: int = 8, window_ms: float = 4.0):
+        self.relighter = relighter
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self._queue: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, image, mask, light, ambient):
+        """image (H,W,3), mask (H,W), light (3,), ambient scalar -> outputs."""
+        fut: Future = Future()
+        self._queue.put((image, mask, light, ambient, fut))
+        return fut.result()
+
+    def _worker(self):
+        while True:
+            items = [self._queue.get()]
+            deadline = time.monotonic() + self.window_s
+            while len(items) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    items.append(self._queue.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            n = len(items)
+            # Fixed-shape buckets keep the number of compiled programs at 2.
+            padded = n if n == 1 else self.max_batch
+            try:
+                def stack(i):
+                    rows = [it[i] for it in items]
+                    rows += [rows[-1]] * (padded - n)
+                    return np.stack(rows).astype(np.float32)
+
+                out = self.relighter.forward(
+                    stack(0),
+                    stack(1),
+                    target_light=stack(2),
+                    target_ambient=stack(3),
+                )
+                rendered = np.asarray(out.rendered)
+                weights = np.asarray(out.shadow_mask_weights)
+                for k, (_, _, _, _, fut) in enumerate(items):
+                    fut.set_result((rendered[k], weights[k]))
+            except Exception as e:  # noqa: BLE001 - propagate to each caller
+                for *_, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+
+def make_handler(relighter, batcher: MicroBatcher | None = None):
     from geomconsistentfr_tpu.lighting_presets import DEFAULT_AMBIENT, LIGHT_PRESETS
 
     class Handler(BaseHTTPRequestHandler):
@@ -84,23 +154,25 @@ def make_handler(relighter):
                         )
                     else:
                         light = np.asarray([req["light"]], np.float32)
-                    ambient = np.asarray(
-                        [req.get("ambient", DEFAULT_AMBIENT)], np.float32
-                    )
-                    out = relighter.forward(
-                        image[None], mask[None],
-                        target_light=light, target_ambient=ambient,
-                    )
+                    ambient = np.float32(req.get("ambient", DEFAULT_AMBIENT))
+                    if batcher is not None:
+                        rendered, weights = batcher.submit(
+                            image, mask, light[0], ambient
+                        )
+                    else:
+                        out = relighter.forward(
+                            image[None], mask[None],
+                            target_light=light,
+                            target_ambient=ambient[None],
+                        )
+                        rendered = np.asarray(out.rendered[0])
+                        weights = np.asarray(out.shadow_mask_weights[0])
                     mask3 = np.repeat(mask[..., None], 3, -1)
                     self._json(
                         200,
                         {
-                            "rendered": _encode_image(
-                                np.asarray(out.rendered[0]) * mask3
-                            ),
-                            "shadow_mask": _encode_image(
-                                np.asarray(out.shadow_mask_weights[0]) * mask
-                            ),
+                            "rendered": _encode_image(rendered * mask3),
+                            "shadow_mask": _encode_image(weights * mask),
                         },
                     )
                 elif self.path == "/estimate":
@@ -130,13 +202,22 @@ def main(argv=None) -> int:
     parser.add_argument("--preset", default="single_image")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8400)
+    parser.add_argument("--max-batch", type=int, default=8,
+                        help="micro-batch size for coalesced /relight requests")
+    parser.add_argument("--batch-window-ms", type=float, default=4.0,
+                        help="how long to wait for more requests after the first")
     args = parser.parse_args(argv)
 
     from geomconsistentfr_tpu.config import PRESETS
     from geomconsistentfr_tpu.infer import load_relighter
 
     relighter = load_relighter(args.checkpoint, cfg=PRESETS[args.preset]())
-    server = HTTPServer((args.host, args.port), make_handler(relighter))
+    batcher = MicroBatcher(
+        relighter, max_batch=args.max_batch, window_ms=args.batch_window_ms
+    )
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(relighter, batcher)
+    )
     print(json.dumps({"serving": f"http://{args.host}:{args.port}"}), flush=True)
     server.serve_forever()
     return 0

@@ -95,3 +95,83 @@ def test_relight_endpoint():
         server.shutdown()
     finally:
         serve_mod._decode_image = orig
+
+
+def test_threaded_server_micro_batching():
+    """Concurrent /relight requests coalesce into one padded device batch
+    and every caller gets ITS OWN slice back (threaded server + batcher)."""
+    from http.server import ThreadingHTTPServer
+
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.serve import MicroBatcher, make_handler
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=64, img_width=64,
+            num_sample_points=16, t_stop=0.105, march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    relighter = Relighter(cfg, variables)
+
+    calls = []
+    orig_forward = relighter.forward
+
+    def counting_forward(images, masks, **kw):
+        calls.append(images.shape[0])
+        return orig_forward(images, masks, **kw)
+
+    relighter.forward = counting_forward
+    batcher = MicroBatcher(relighter, max_batch=4, window_ms=200.0)
+
+    import geomconsistentfr_tpu.serve as serve_mod
+
+    orig = serve_mod._decode_image
+    serve_mod._decode_image = lambda b64, size=64: orig(b64, size=64)
+    try:
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(relighter, batcher)
+        )
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+
+        rng = np.random.default_rng(1)
+        img = rng.uniform(size=(64, 64, 3))
+        mask = np.ones((64, 64, 3))
+        presets = ["multipie_14", "multipie_10", "A00E45"]
+
+        import http.client
+
+        results = {}
+
+        def post(preset):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+            conn.request("POST", "/relight", json.dumps({
+                "image": _png_b64(img), "mask": _png_b64(mask),
+                "light_preset": preset,
+            }))
+            resp = conn.getresponse()
+            results[preset] = (resp.status, json.loads(resp.read()))
+
+        threads = [threading.Thread(target=post, args=(p,)) for p in presets]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+
+        assert all(status == 200 for status, _ in results.values()), results
+        # Distinct lights must produce distinct renders (per-request slices).
+        pngs = {p: results[p][1]["rendered"] for p in presets}
+        assert len(set(pngs.values())) == 3
+        # The three concurrent requests used fewer forwards than requests
+        # (the long batch window guarantees coalescing here).
+        assert len(calls) < 3, calls
+        server.shutdown()
+    finally:
+        serve_mod._decode_image = orig
