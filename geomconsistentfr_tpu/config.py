@@ -114,6 +114,11 @@ class RenderConfig:
     # Unroll factor of the in-kernel march step loop (perf knob only).
     shadow_unroll: int = 1
 
+    # Advance all row slabs inside one step loop (independent dependency
+    # chains per iteration -> more VPU/MXU overlap) instead of finishing
+    # each slab's loop before the next. Perf knob only; bit-identical.
+    shadow_slab_interleave: bool = False
+
     # How the kernel gathers the face-mask veto per march sample:
     #   'onehot'  exact one-hot matmul at the banker's-rounded coordinate
     #             (bit-matches the reference veto);

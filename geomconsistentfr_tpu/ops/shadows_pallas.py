@@ -191,8 +191,8 @@ def _march_kernel(
     else:
         raise ValueError(cfg.shadow_bias_gate)
 
-    for k in range(n_sub):
-        # Centred pixel coordinates for this slab, (SUB, W).
+    def slab_consts(k):
+        """Per-slab pixel coordinates, border endpoints and BC terms."""
         rows = (
             jax.lax.broadcasted_iota(jnp.int32, (sub, w), 0).astype(jnp.float32)
             + (row0 + k * sub).astype(jnp.float32)
@@ -231,121 +231,166 @@ def _march_kernel(
         ex = jnp.clip(ex, left, right)
         ey = jnp.clip(ey, bottom, top)
 
-        diff_x = ex - xx
-        diff_y = ey - yy
-
-        bc_x = lx - xx
-        bc_y = ly - yy
         bc_z = lz - depth_px
-        denom = jnp.sqrt(bc_x * bc_x + bc_y * bc_y + bc_z * bc_z + _EPS)
+        return {
+            "xx": xx,
+            "yy": yy,
+            "depth_px": depth_px,
+            "diff_x": ex - xx,
+            "diff_y": ey - yy,
+            "bc_x": lx - xx,
+            "bc_y": ly - yy,
+            "bc_z": bc_z,
+            "denom": jnp.sqrt(
+                (lx - xx) ** 2 + (ly - yy) ** 2 + bc_z * bc_z + _EPS
+            ),
+        }
 
-        def step(s, carry, xx=xx, yy=yy, diff_x=diff_x, diff_y=diff_y,
-                 bc_x=bc_x, bc_y=bc_y, bc_z=bc_z, denom=denom,
-                 depth_px=depth_px):
-            if tstar_ref is not None:
-                min_acc, tbest = carry
-            else:
-                min_acc = carry
-            t = ts_ref[s, 0]
-            sx = xx + t * diff_x
-            sy = yy + t * diff_y
+    def sample_n2(c, t):
+        """Cross-product norm^2 of one march sample for one slab."""
+        xx, yy = c["xx"], c["yy"]
+        sx = xx + t * c["diff_x"]
+        sy = yy + t * c["diff_y"]
 
-            # Rounded row index for the mask veto (:449-454).
-            yr = jnp.clip(h / 2.0 - jnp.round(sy), 0, h - 1)
+        # Rounded row index for the mask veto (:449-454).
+        yr = jnp.clip(h / 2.0 - jnp.round(sy), 0, h - 1)
 
-            # Bilinear coordinates, -1e-4 shifted (:457-471).
-            xt = sx + w / 2.0 - _EPS
-            yt = (h / 2.0 - sy) - _EPS
-            xtc = jnp.clip(xt, 0.0, w - 1.0)
-            ytc = jnp.clip(yt, 0.0, h - 1.0)
+        # Bilinear coordinates, -1e-4 shifted (:457-471).
+        xt = sx + w / 2.0 - _EPS
+        yt = (h / 2.0 - sy) - _EPS
+        xtc = jnp.clip(xt, 0.0, w - 1.0)
+        ytc = jnp.clip(yt, 0.0, h - 1.0)
 
-            # Hat x-weights -> MXU: B[p, r] = x-interpolated depth at row r.
-            wx = hat(cls_wf, xtc).reshape(sub * w, w)
-            onehot_yr = jnp.where(cls_hf == yr[..., None], 1.0, 0.0)
+        # Hat x-weights -> MXU: B[p, r] = x-interpolated depth at row r.
+        wx = hat(cls_wf, xtc).reshape(sub * w, w)
+        onehot_yr = jnp.where(cls_hf == yr[..., None], 1.0, 0.0)
 
-            if mask_hat:
-                # One widened matmul gathers depth AND the hat-interpolated
-                # indicator; thresholding the indicator at 0.5 selects the
-                # nearest tap's value (the taps are {0,1} and the two hat
-                # weights sum to 1). The depth interp is bit-identical to
-                # onehot mode (same shifted weights); the veto differs from
-                # the reference's banker's-rounded gather only at samples
-                # whose position lands within 1e-4 of a half-integer —
-                # including the systematic exact-half hits from integer
-                # pixel-to-border spans, ~0.3% of pixels on random masks
-                # (see RenderConfig.shadow_mask_gather).
-                bw = gather_dot(wx).reshape(sub, w, 2 * h)
-                b = bw[:, :, :h]
-                d_interp = reduce_h(b, hat(cls_hf, ytc), exact_products=False)
-                vsel = reduce_h(bw[:, :, h:], onehot_yr, exact_products=True)
-                on_face = jnp.where(vsel > 0.5, 1.0, 0.0)
-            else:
-                b = gather_dot(wx).reshape(sub, w, h)
-
-                # Hat y reduction (lane-axis reduce -> (SUB, W)).
-                d_interp = reduce_h(b, hat(cls_hf, ytc), exact_products=False)
-
-                # Mask veto: one-hot gather of the 0/1 indicator at the
-                # banker's-rounded x (:449-454). A single 1.0 x {0,1}
-                # product per output is exact even in bf16 passes, so this
-                # matmul always uses the fast default precision.
-                xr = jnp.clip(jnp.round(sx) + w / 2.0, 0, w - 1)
-                ind_onehot = jnp.where(
-                    cls_wf == xr[..., None], 1.0, 0.0
-                ).reshape(sub * w, w)
-                mrows = jax.lax.dot_general(
-                    ind_onehot,
-                    indicator_t,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT,
-                ).reshape(sub, w, h)
-                on_face = reduce_h(mrows, onehot_yr, exact_products=True)
-
-            # 3D point-to-line distance (:478-487); sample xy keeps the
-            # shift. The per-pixel denominator is constant across steps and
-            # sqrt is monotone, so the loop carries the raw cross-product
-            # norm^2 and the final sqrt(.+eps)/denom happens once outside —
-            # identical values, two fewer VPU passes per step.
-            ba_x = (xt - w / 2.0) - xx
-            ba_y = (h / 2.0 - yt) - yy
-            ba_z = d_interp - depth_px
-            cx = ba_y * bc_z - ba_z * bc_y
-            cy = ba_z * bc_x - ba_x * bc_z
-            cz = ba_x * bc_y - ba_y * bc_x
-            n2 = cx * cx + cy * cy + cz * cz
-            n2 = jnp.where(on_face == 0.0, _OFF_FACE_N2, n2)
-            if tstar_ref is None:
-                return jnp.minimum(min_acc, n2)
-            better = n2 < min_acc
-            return jnp.minimum(min_acc, n2), jnp.where(better, t, tbest)
-
-        init_min = jnp.full((sub, w), jnp.inf, jnp.float32)
-        if tstar_ref is None:
-            min_n2 = jax.lax.fori_loop(
-                0, ts_ref.shape[0], step, init_min, unroll=unroll
-            )
-            t_star = None
+        if mask_hat:
+            # One widened matmul gathers depth AND the hat-interpolated
+            # indicator; thresholding the indicator at 0.5 selects the
+            # nearest tap's value (the taps are {0,1} and the two hat
+            # weights sum to 1). The depth interp is bit-identical to
+            # onehot mode (same shifted weights); the veto differs from
+            # the reference's banker's-rounded gather only at samples
+            # whose position lands within 1e-4 of a half-integer —
+            # including the systematic exact-half hits from integer
+            # pixel-to-border spans, ~0.3% of pixels on random masks
+            # (see RenderConfig.shadow_mask_gather).
+            bw = gather_dot(wx).reshape(sub, w, 2 * h)
+            b = bw[:, :, :h]
+            d_interp = reduce_h(b, hat(cls_hf, ytc), exact_products=False)
+            vsel = reduce_h(bw[:, :, h:], onehot_yr, exact_products=True)
+            on_face = jnp.where(vsel > 0.5, 1.0, 0.0)
         else:
-            min_n2, t_star = jax.lax.fori_loop(
-                0,
-                ts_ref.shape[0],
-                step,
-                (init_min, jnp.zeros((sub, w), jnp.float32)),
-                unroll=unroll,
-            )
+            b = gather_dot(wx).reshape(sub, w, h)
+
+            # Hat y reduction (lane-axis reduce -> (SUB, W)).
+            d_interp = reduce_h(b, hat(cls_hf, ytc), exact_products=False)
+
+            # Mask veto: one-hot gather of the 0/1 indicator at the
+            # banker's-rounded x (:449-454). A single 1.0 x {0,1}
+            # product per output is exact even in bf16 passes, so this
+            # matmul always uses the fast default precision.
+            xr = jnp.clip(jnp.round(sx) + w / 2.0, 0, w - 1)
+            ind_onehot = jnp.where(
+                cls_wf == xr[..., None], 1.0, 0.0
+            ).reshape(sub * w, w)
+            mrows = jax.lax.dot_general(
+                ind_onehot,
+                indicator_t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ).reshape(sub, w, h)
+            on_face = reduce_h(mrows, onehot_yr, exact_products=True)
+
+        # 3D point-to-line distance (:478-487); sample xy keeps the
+        # shift. The per-pixel denominator is constant across steps and
+        # sqrt is monotone, so the loop carries the raw cross-product
+        # norm^2 and the final sqrt(.+eps)/denom happens once outside —
+        # identical values, two fewer VPU passes per step.
+        ba_x = (xt - w / 2.0) - xx
+        ba_y = (h / 2.0 - yt) - yy
+        ba_z = d_interp - c["depth_px"]
+        cx = ba_y * c["bc_z"] - ba_z * c["bc_y"]
+        cy = ba_z * c["bc_x"] - ba_x * c["bc_z"]
+        cz = ba_x * c["bc_y"] - ba_y * c["bc_x"]
+        n2 = cx * cx + cy * cy + cz * cz
+        return jnp.where(on_face == 0.0, _OFF_FACE_N2, n2)
+
+    def store_slab(k, min_n2, t_star, denom):
         min_d = jnp.sqrt(min_n2 + _EPS) / denom
         # Off-face sentinel: reproduce the exact 1e6 constant (:490).
         min_d = jnp.where(min_n2 >= _OFF_FACE_N2, _OFF_FACE, min_d)
-
         if gate is not None:
             min_d = min_d + jnp.where(gate, cfg.shadow_bias, 0.0).astype(
                 min_d.dtype
             )
-
         out_ref[0, k * sub : (k + 1) * sub, :] = min_d
         if tstar_ref is not None:
             tstar_ref[0, k * sub : (k + 1) * sub, :] = t_star
+
+    init_min = jnp.full((sub, w), jnp.inf, jnp.float32)
+    init_t = jnp.zeros((sub, w), jnp.float32)
+
+    if cfg.shadow_slab_interleave and n_sub > 1:
+        # All slabs advance inside ONE step loop: the per-slab dependency
+        # chains (build -> matmul -> reduce -> chain) are independent, so
+        # Mosaic can overlap one slab's VPU builds with another's MXU work.
+        consts = [slab_consts(k) for k in range(n_sub)]
+
+        def step_all(s, carry):
+            t = ts_ref[s, 0]
+            out = []
+            for k in range(n_sub):
+                n2 = sample_n2(consts[k], t)
+                if tstar_ref is None:
+                    out.append(jnp.minimum(carry[k], n2))
+                else:
+                    min_acc, tbest = carry[k]
+                    out.append(
+                        (jnp.minimum(min_acc, n2),
+                         jnp.where(n2 < min_acc, t, tbest))
+                    )
+            return tuple(out)
+
+        init = tuple(
+            init_min if tstar_ref is None else (init_min, init_t)
+            for _ in range(n_sub)
+        )
+        finals = jax.lax.fori_loop(0, ts_ref.shape[0], step_all, init,
+                                   unroll=unroll)
+        for k in range(n_sub):
+            if tstar_ref is None:
+                store_slab(k, finals[k], None, consts[k]["denom"])
+            else:
+                store_slab(k, finals[k][0], finals[k][1], consts[k]["denom"])
+    else:
+        for k in range(n_sub):
+            c = slab_consts(k)
+
+            def step(s, carry, c=c):
+                t = ts_ref[s, 0]
+                n2 = sample_n2(c, t)
+                if tstar_ref is None:
+                    return jnp.minimum(carry, n2)
+                min_acc, tbest = carry
+                return (
+                    jnp.minimum(min_acc, n2),
+                    jnp.where(n2 < min_acc, t, tbest),
+                )
+
+            if tstar_ref is None:
+                min_n2 = jax.lax.fori_loop(
+                    0, ts_ref.shape[0], step, init_min, unroll=unroll
+                )
+                store_slab(k, min_n2, None, c["denom"])
+            else:
+                min_n2, t_star = jax.lax.fori_loop(
+                    0, ts_ref.shape[0], step, (init_min, init_t),
+                    unroll=unroll,
+                )
+                store_slab(k, min_n2, t_star, c["denom"])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -48,12 +48,14 @@ def bench_march(specs):
         parts = spec.split(",")
         tile_s, slab_s, prec = parts[:3]
         unroll = int(parts[3]) if len(parts) > 3 else 1
+        interleave = len(parts) > 4 and parts[4] == "il"
         cfg = dataclasses.replace(
             base,
             shadow_tile_rows=int(tile_s),
             shadow_slab_rows=int(slab_s),
             shadow_matmul_precision=prec,
             shadow_unroll=unroll,
+            shadow_slab_interleave=interleave,
         )
 
         @jax.jit
@@ -77,6 +79,7 @@ def bench_march(specs):
                     "slab": int(slab_s),
                     "precision": prec,
                     "unroll": unroll,
+                    "interleave": interleave,
                     "batch": batch,
                     "sec_per_batch": round(dt, 4),
                     "ms_per_image": round(1000 * dt / batch, 2),
