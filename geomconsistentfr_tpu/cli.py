@@ -213,11 +213,16 @@ def cmd_train(args) -> int:
         data = CelebAHQRelightingData(args.data)
     trainer = Trainer(cfg, data=data, workdir=args.out, profile=args.profile)
     state = trainer.init_or_resume()
-    start_epoch = int(state.step) // cfg.train.batches_per_epoch
+    # Per-epoch (seed, epoch)-derived shuffles inside run_epoch make a
+    # resumed run replay the uninterrupted batch order exactly; a mid-epoch
+    # step checkpoint resumes inside its epoch (the already-trained head of
+    # the shuffle is skipped, never re-trained).
+    start_epoch, start_batch = divmod(
+        int(state.step), cfg.train.batches_per_epoch
+    )
     for epoch in range(start_epoch, args.epochs):
-        # Per-epoch (seed, epoch)-derived shuffles inside run_epoch make a
-        # resumed run replay the uninterrupted batch order exactly.
-        state, metrics = trainer.run_epoch(state, epoch)
+        state, metrics = trainer.run_epoch(state, epoch, start_batch=start_batch)
+        start_batch = 0
         trainer.save(state)
         print(json.dumps(metrics))
     return 0

@@ -334,6 +334,7 @@ class Trainer:
         state: TrainState,
         epoch: int,
         rng: Optional[np.random.Generator] = None,
+        start_batch: int = 0,
     ):
         """One epoch: cfg.train.batches_per_epoch random batches (:606-607).
 
@@ -342,8 +343,15 @@ class Trainer:
         the batch stream an uninterrupted run would have seen (the reference
         cannot resume at all, train_*.py:684-685). Passing `rng` explicitly
         overrides this (used by tests that control the stream).
+
+        `start_batch` resumes *inside* an epoch from a step-level checkpoint:
+        the epoch's shuffle is re-derived and its first `start_batch` batches
+        are skipped (never trained), so restarting from a mid-epoch save
+        continues the uninterrupted stream instead of re-training the epoch
+        head on an already-advanced state.
         """
         import contextlib
+        import itertools
 
         tcfg = self.cfg.train
         if rng is None:
@@ -363,12 +371,19 @@ class Trainer:
             index_iter = self.data.epoch_batch_indices(
                 rng, tcfg.batch_size, tcfg.batches_per_epoch
             )
+            # Fast-forward within the epoch at the index level (no IO).
+            if start_batch:
+                index_iter = itertools.islice(index_iter, start_batch, None)
             batches = (self.data.get_batch(idx) for idx in index_iter)
         else:
             batches = (
                 self.data.sample_batch(rng, tcfg.batch_size)
                 for _ in range(tcfg.batches_per_epoch)
             )
+            # sample_batch consumes the rng per draw; drawing and discarding
+            # keeps the resumed stream identical to the uninterrupted one.
+            if start_batch:
+                batches = itertools.islice(batches, start_batch, None)
         # Async device prefetch: start batch k+1's host->device transfer while
         # step k executes (device_put returns immediately). Measured on the
         # axon tunnel: the per-step numpy upload otherwise costs ~0.25 s of
@@ -378,8 +393,9 @@ class Trainer:
         logged = 0
         with profile_ctx:
             for j, batch in enumerate(batches):
+                pos = start_batch + j + 1  # 1-based position within the epoch
                 state, metrics = self.step_fn(state, batch, use_skips)
-                if (j + 1) % tcfg.log_every_steps == 0:
+                if pos % tcfg.log_every_steps == 0:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     for k, v in m.items():
                         sums[k] = sums.get(k, 0.0) + v
@@ -388,8 +404,8 @@ class Trainer:
                 # epoch end and cannot resume at all, train_*.py:684-685).
                 if (
                     tcfg.checkpoint_every_steps
-                    and (j + 1) % tcfg.checkpoint_every_steps == 0
-                    and (j + 1) < tcfg.batches_per_epoch
+                    and pos % tcfg.checkpoint_every_steps == 0
+                    and pos < tcfg.batches_per_epoch
                 ):
                     self.save(state)
         elapsed = time.time() - t0
