@@ -31,13 +31,15 @@ def main() -> None:
     from geomconsistentfr_tpu.render import render
 
     cfg = preset_single_image()
-    # Production-serving mode: fast bf16 MXU passes in the shadow kernel
-    # (rendered PSNR vs the PyTorch reference stays >40 dB; the strict-f32
-    # mode used by parity tests is RenderConfig.shadow_matmul_precision
-    # ='highest'). Set BENCH_STRICT=1 to benchmark the strict mode instead.
+    # Production-serving mode: fast bf16 MXU passes in the shadow kernel AND
+    # bfloat16 CNN activations (params/BN stats stay f32; rendered PSNR vs
+    # the PyTorch reference stays >40 dB). The strict-f32 mode used by parity
+    # tests is shadow_matmul_precision='highest' + compute_dtype='float32'.
+    # Set BENCH_STRICT=1 to benchmark the strict mode instead.
     if os.environ.get("BENCH_STRICT") != "1":
         cfg = dataclasses.replace(
             cfg,
+            model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
             render=dataclasses.replace(
                 cfg.render, shadow_matmul_precision="default"
             ),

@@ -141,6 +141,20 @@ class RenderConfig:
     # mode). 'auto' picks the faster measured option per platform.
     shadow_reduce: str = "auto"
 
+    def __post_init__(self):
+        # The shadow kernels' one-hot mask veto matches round(s) + half_w
+        # against integer column indices, which is only exact when half_w /
+        # half_h are integral; odd sizes would silently veto every sample
+        # (constant 1e6 distance, zero gradient) instead of erroring. The
+        # reference's int-cast gather form does not share this constraint,
+        # so reject odd sizes loudly here.
+        if self.img_height % 2 or self.img_width % 2:
+            raise ValueError(
+                "img_height and img_width must be even (the shadow veto "
+                f"needs integral half-extents); got {self.img_height}x"
+                f"{self.img_width}"
+            )
+
     @property
     def half_w(self) -> float:
         return self.img_width / 2.0
@@ -183,6 +197,14 @@ class ModelConfig:
     # slower on TPU). The bundled-checkpoint relight PSNR vs the PyTorch
     # reference exceeds 50 dB even at 'default'.
     conv_precision: str = "default"
+
+    # Activation dtype for the CNN compute path: 'float32' (parity) or
+    # 'bfloat16' (fast serving — halves HBM traffic for the activation
+    # tensors between convs). Parameters are always stored in float32 and
+    # BatchNorm moments/running stats are always computed in float32; only
+    # the inter-layer activations are narrowed. Model outputs (albedo,
+    # depth, lighting) are returned as float32 either way.
+    compute_dtype: str = "float32"
 
     # Encoder skip connections into the decoders are enabled once the training
     # epoch exceeds these thresholds (stage order: deepest first).

@@ -123,17 +123,34 @@ def run_inference(
     GT filename (test_raytracing_...py:525-527); ambient defaults to 0.5 and
     the model's estimated ambient is used at render time per the
     multipie_eval preset (ambient_mode='estimated').
+
+    The reference zips three independent `sorted()` listings positionally, so
+    one stray file in any directory silently feeds the wrong *lighting* to
+    every subsequent image. Here each input/GT/mask triple must agree on its
+    parsed image id (first digit run of the stem, matching
+    `evaluate_output_dir`) and the lighting index is parsed from the verified
+    GT partner — a mispairing raises up front instead of corrupting the dump.
     """
     import imageio.v2 as imageio
     import scipy.io
 
     from geomconsistentfr_tpu.utils.io import read_image, read_mask, save_render_outputs
 
-    size = relighter.cfg.render.img_height
     inputs = sorted(os.listdir(input_dir))
     gts = sorted(os.listdir(gt_dir))
     masks = sorted(os.listdir(mask_fill_nose_dir))
+    if not (len(inputs) == len(gts) == len(masks)):
+        raise ValueError(
+            f"count mismatch: {len(inputs)} inputs vs {len(gts)} GT vs "
+            f"{len(masks)} masks"
+        )
+    for triple in zip(inputs, gts, masks):
+        ids = {name: _stem_id(name) for name in triple}
+        known = {v for v in ids.values() if v is not None}
+        if len(known) > 1:
+            raise ValueError(f"mispaired inference triple (image ids differ): {ids}")
     directions = scipy.io.loadmat(lighting_mat)["lighting_directions"]
+    size = relighter.cfg.render.img_height
     n = len(inputs) if limit is None else min(limit, len(inputs))
 
     os.makedirs(output_dir, exist_ok=True)

@@ -43,10 +43,10 @@ def score_2afc(
 ) -> float:
     """Two-alternative forced choice score (lpips/trainer.py score_2afc_dataset).
 
-    judge in [0,1] is the fraction of humans preferring p1. Score for a
-    triplet: d0<d1 earns `judge`... actually the standard scoring:
-    score = d0<d1 ? (1-judge... ) — reproduced: gs*(d0<d1) + (1-gs)*(d1<d0)
-    + 0.5*(d0==d1), averaged.
+    `judge` in [0, 1] is the fraction of humans who preferred p1. A triplet
+    scores (1 - judge) when the metric prefers p0 (d0 < d1), `judge` when it
+    prefers p1 (d1 < d0), and 0.5 on a tie; the dataset score is the mean —
+    i.e. the fraction of human judgements the metric agrees with.
     """
     scores = []
     for ref, p0, p1, judge in zip(refs, p0s, p1s, judges):

@@ -49,12 +49,19 @@ def torch_bias_init_for(fan_in: int):
 
 
 class TorchBatchNorm(nn.Module):
-    """BatchNorm2d with exact torch semantics and optional cross-replica sync."""
+    """BatchNorm2d with exact torch semantics and optional cross-replica sync.
+
+    Moments, running statistics, and the affine transform are always computed
+    in float32 regardless of the activation dtype; when `dtype` is set (e.g.
+    bfloat16 for the fast serving path) only the returned activations are
+    narrowed.
+    """
 
     features: int
     momentum: float = 0.1
     eps: float = 1e-5
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, use_running_average: bool) -> Array:
@@ -67,6 +74,8 @@ class TorchBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
         )
 
+        out_dtype = self.dtype or x.dtype
+        x = x.astype(jnp.float32)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
@@ -86,7 +95,7 @@ class TorchBatchNorm(nn.Module):
                 ra_var.value = (1.0 - m) * ra_var.value + m * var * bessel
 
         inv = jax.lax.rsqrt(var + self.eps)
-        return (x - mean) * inv * scale + bias
+        return ((x - mean) * inv * scale + bias).astype(out_dtype)
 
 
 def conv2d(
@@ -99,8 +108,13 @@ def conv2d(
     stride: int = 1,
     padding: Optional[Sequence[tuple[int, int]]] = None,
     precision: Optional[str] = None,
+    dtype: Optional[jnp.dtype] = None,
 ) -> Array:
-    """3x3/5x5/1x1 same-style conv with torch-default init, NHWC."""
+    """3x3/5x5/1x1 same-style conv with torch-default init, NHWC.
+
+    `dtype` is the computation/activation dtype (params stay float32 —
+    flax promotes them per call); None keeps the input dtype.
+    """
     if padding is None:
         p = (kernel - 1) // 2
         padding = ((p, p), (p, p))
@@ -115,6 +129,7 @@ def conv2d(
         kernel_init=torch_kernel_init,
         bias_init=torch_bias_init_for(fan_in),
         precision=precision,
+        dtype=dtype,
     )(x)
 
 

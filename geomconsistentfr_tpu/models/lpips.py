@@ -182,7 +182,9 @@ class LPIPSMetric:
             )
         try:
             params.update(load_lin_weights(lin_weights_path))
-        except FileNotFoundError:
+        except (FileNotFoundError, ImportError):
+            # ImportError: load_lin_weights needs torch to read the bundled
+            # .pth; the allow_random_trunk smoke path must work without it.
             if not allow_random_trunk:
                 raise
         self._variables = {"params": params}

@@ -69,6 +69,14 @@ class RelightNet(nn.Module):
         ura = not train
 
         prec = None if cfg.conv_precision == "default" else cfg.conv_precision
+        if cfg.compute_dtype == "bfloat16":
+            dtype = jnp.bfloat16
+        elif cfg.compute_dtype == "float32":
+            dtype = None
+        else:
+            raise ValueError(f"unknown compute_dtype: {cfg.compute_dtype}")
+        if dtype is not None:
+            img = img.astype(dtype)
 
         def lrelu(x):
             return leaky_relu(x, slope)
@@ -79,19 +87,26 @@ class RelightNet(nn.Module):
                 momentum=cfg.bn_momentum,
                 eps=cfg.bn_eps,
                 axis_name=self.axis_name,
+                dtype=dtype,
                 name=name,
             )(x, use_running_average=ura)
 
         def conv_bn(x, name, feat, k):
-            return bn(conv2d(x, feat, k, name=f"conv_{name}", precision=prec), f"bn_{name}")
+            return bn(
+                conv2d(x, feat, k, name=f"conv_{name}", precision=prec, dtype=dtype),
+                f"bn_{name}",
+            )
 
         def shortcut(x, name, feat, transposed):
             # Projection shortcut; variant-dependent geometry.
             layer = "deconv_" if transposed else "conv_"
             if cfg.variant == "target":
-                y = conv2d(x, feat, 3, name=f"{layer}{name}", precision=prec)
+                y = conv2d(x, feat, 3, name=f"{layer}{name}", precision=prec, dtype=dtype)
             elif cfg.variant == "transfer":
-                y = conv2d(x, feat, 1, name=f"{layer}{name}", use_bias=False, precision=prec)
+                y = conv2d(
+                    x, feat, 1, name=f"{layer}{name}", use_bias=False,
+                    precision=prec, dtype=dtype,
+                )
             else:
                 raise ValueError(f"unknown variant: {cfg.variant}")
             return bn(y, f"bn_{name}")
@@ -130,7 +145,10 @@ class RelightNet(nn.Module):
         # ------------------------------------------------------------------
         # Lighting head (AvgPool over the full 16x16 map -> MLP)
         # ------------------------------------------------------------------
-        lf = jnp.mean(lighting_features, axis=(1, 2))
+        # Head MLP runs in f32 even under bfloat16 activations: it is 4 output
+        # scalars (ambient + light direction) on a (B, 27) input — zero cost,
+        # and the renderer consumes them directly.
+        lf = jnp.mean(lighting_features.astype(jnp.float32), axis=(1, 2))
         sl1 = lrelu(
             nn.Dense(
                 cfg.lighting_hidden,
@@ -193,7 +211,11 @@ class RelightNet(nn.Module):
             x = lrelu(conv_bn(x, f"{prefix}_c2_1", 16, 3))
             x = lrelu(conv_bn(x, f"{prefix}_c2_2", 16, 1))
             x = lrelu(conv_bn(x, f"{prefix}_c2_3", 16, 1))
-            return conv2d(x, out_ch, 1, name=f"conv_{prefix}_c2_o", precision=prec)
+            out = conv2d(
+                x, out_ch, 1, name=f"conv_{prefix}_c2_o", precision=prec, dtype=dtype
+            )
+            # Renderer consumes f32 regardless of the CNN activation dtype.
+            return out.astype(jnp.float32)
 
         albedo = jax.nn.sigmoid(decoder("albedo", 3))
         # "allow network to estimate smaller values" (train_*.py:349-350)

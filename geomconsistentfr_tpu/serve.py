@@ -14,11 +14,13 @@ Relighter over HTTP for deployment behind a load balancer:
 Run: python -m geomconsistentfr_tpu.serve --checkpoint model.pth --port 8400
 
 Request handling is threaded (decode/encode and socket IO run concurrently);
-device work funnels through a micro-batching executor that coalesces
-concurrent /relight requests into one padded device batch (TPU serving
-batches are fixed-shape, so only two shapes ever compile: batch 1 for idle
-traffic and --max-batch for bursts). The single worker thread also
-serializes device access, which the exclusive TPU requires.
+ALL device work — /relight and /estimate — funnels through one micro-batching
+worker thread, which the exclusive TPU requires. /relight requests coalesce
+into one padded device batch (TPU serving batches are fixed-shape, so only
+three shapes ever compile: relight batch 1 for idle traffic, --max-batch for
+bursts, and estimate batch 1); /estimate runs serialized between batches.
+Handler threads block on a Future with a timeout and return 503 if the
+worker wedges or dies, rather than hanging the client forever.
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+from concurrent.futures import TimeoutError as FutTimeout
 
 
 def _decode_image(b64: str, size: int = 256) -> np.ndarray:
@@ -62,65 +65,115 @@ def _encode_image(img01: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
-class MicroBatcher:
-    """Coalesce concurrent relight requests into one padded device batch.
+class WorkerDied(RuntimeError):
+    """The device worker thread exited; the server cannot serve device work."""
 
-    submit() blocks the calling handler thread until its slice of the
-    batched forward is ready. The worker drains the queue for up to
-    window_ms after the first request, pads the batch to a fixed size
-    (one compiled shape per bucket: 1 or max_batch), runs one forward,
-    and scatters the per-request outputs back through Futures.
+
+class MicroBatcher:
+    """Single device-worker thread: coalesces /relight into padded batches
+    and serializes /estimate through the same thread (the exclusive TPU
+    requires exactly one in-flight program, so ALL device work funnels here).
+
+    submit()/submit_estimate() block the calling handler thread (with a
+    timeout) until their slice of the device work is ready. For relights the
+    worker drains the queue for up to window_ms after the first request, pads
+    the batch to a fixed size (one compiled shape per bucket: 1 or
+    max_batch), runs one forward, and scatters per-request outputs back
+    through Futures. Estimates run one at a time (single compiled shape).
     """
 
-    def __init__(self, relighter, max_batch: int = 8, window_ms: float = 4.0):
+    def __init__(
+        self,
+        relighter,
+        max_batch: int = 8,
+        window_ms: float = 4.0,
+        request_timeout_s: float = 120.0,
+    ):
         self.relighter = relighter
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
+        self.request_timeout_s = request_timeout_s
         self._queue: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    def _submit(self, kind: str, payload) -> Future:
+        if not self._thread.is_alive():
+            raise WorkerDied("device worker thread is not running")
+        fut: Future = Future()
+        self._queue.put((kind, payload, fut))
+        return fut
+
     def submit(self, image, mask, light, ambient):
         """image (H,W,3), mask (H,W), light (3,), ambient scalar -> outputs."""
-        fut: Future = Future()
-        self._queue.put((image, mask, light, ambient, fut))
-        return fut.result()
+        fut = self._submit("relight", (image, mask, light, ambient))
+        return fut.result(timeout=self.request_timeout_s)
+
+    def submit_estimate(self, image):
+        """image (H,W,3) -> (unit direction (3,), ambient scalar)."""
+        fut = self._submit("estimate", image)
+        return fut.result(timeout=self.request_timeout_s)
 
     def _worker(self):
         while True:
-            items = [self._queue.get()]
-            deadline = time.monotonic() + self.window_s
-            while len(items) < self.max_batch:
-                timeout = deadline - time.monotonic()
-                if timeout <= 0:
-                    break
-                try:
-                    items.append(self._queue.get(timeout=timeout))
-                except queue.Empty:
-                    break
-            n = len(items)
-            # Fixed-shape buckets keep the number of compiled programs at 2.
-            padded = n if n == 1 else self.max_batch
+            kind, payload, fut = self._queue.get()
             try:
-                def stack(i):
-                    rows = [it[i] for it in items]
-                    rows += [rows[-1]] * (padded - n)
-                    return np.stack(rows).astype(np.float32)
+                if kind == "estimate":
+                    unit, ambient = self.relighter.estimate_lighting(
+                        payload[None].astype(np.float32)
+                    )
+                    fut.set_result((unit[0], float(ambient[0])))
+                    continue
 
-                out = self.relighter.forward(
-                    stack(0),
-                    stack(1),
-                    target_light=stack(2),
-                    target_ambient=stack(3),
-                )
-                rendered = np.asarray(out.rendered)
-                weights = np.asarray(out.shadow_mask_weights)
-                for k, (_, _, _, _, fut) in enumerate(items):
-                    fut.set_result((rendered[k], weights[k]))
-            except Exception as e:  # noqa: BLE001 - propagate to each caller
-                for *_, fut in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+                items = [(payload, fut)]
+                deadline = time.monotonic() + self.window_s
+                while len(items) < self.max_batch:
+                    timeout = deadline - time.monotonic()
+                    if timeout <= 0:
+                        break
+                    try:
+                        k2, p2, f2 = self._queue.get(timeout=timeout)
+                    except queue.Empty:
+                        break
+                    if k2 == "relight":
+                        items.append((p2, f2))
+                    else:
+                        # Estimates don't batch with relights: requeue behind
+                        # this batch (the worker handles it next iteration).
+                        self._queue.put((k2, p2, f2))
+                        break
+                self._run_relight_batch(items)
+            except BaseException as e:  # noqa: BLE001 - never kill the worker
+                if not fut.done():
+                    fut.set_exception(
+                        e if isinstance(e, Exception) else WorkerDied(repr(e))
+                    )
+
+    def _run_relight_batch(self, items):
+        n = len(items)
+        # Fixed-shape buckets keep the number of compiled programs at 2.
+        padded = n if n == 1 else self.max_batch
+        try:
+            def stack(i):
+                rows = [it[0][i] for it in items]
+                rows += [rows[-1]] * (padded - n)
+                return np.stack(rows).astype(np.float32)
+
+            out = self.relighter.forward(
+                stack(0),
+                stack(1),
+                target_light=stack(2),
+                target_ambient=stack(3),
+            )
+            rendered = np.asarray(out.rendered)
+            weights = np.asarray(out.shadow_mask_weights)
+            for k, (_, fut) in enumerate(items):
+                fut.set_result((rendered[k], weights[k]))
+        except BaseException as e:  # noqa: BLE001 - propagate to each caller
+            err = e if isinstance(e, Exception) else WorkerDied(repr(e))
+            for _, fut in items:
+                if not fut.done():
+                    fut.set_exception(err)
 
 
 def make_handler(relighter, batcher: MicroBatcher | None = None):
@@ -146,23 +199,33 @@ def make_handler(relighter, batcher: MicroBatcher | None = None):
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length))
                 if self.path == "/relight":
+                    # Validate the full request in the handler thread so a
+                    # malformed request can only 400 its own caller, never a
+                    # whole coalesced batch.
                     image = _decode_image(req["image"])
                     mask = _decode_image(req["mask"])[..., 0]
                     if "light_preset" in req:
                         light = np.asarray(
-                            [LIGHT_PRESETS[req["light_preset"]]], np.float32
+                            LIGHT_PRESETS[req["light_preset"]], np.float32
                         )
                     else:
-                        light = np.asarray([req["light"]], np.float32)
+                        light = np.asarray(req["light"], np.float32)
+                    if light.shape != (3,) or not np.all(np.isfinite(light)):
+                        raise ValueError(
+                            f"'light' must be 3 finite floats, got shape "
+                            f"{light.shape}"
+                        )
                     ambient = np.float32(req.get("ambient", DEFAULT_AMBIENT))
+                    if not np.isfinite(ambient):
+                        raise ValueError("'ambient' must be finite")
                     if batcher is not None:
                         rendered, weights = batcher.submit(
-                            image, mask, light[0], ambient
+                            image, mask, light, ambient
                         )
                     else:
                         out = relighter.forward(
                             image[None], mask[None],
-                            target_light=light,
+                            target_light=light[None],
                             target_ambient=ambient[None],
                         )
                         rendered = np.asarray(out.rendered[0])
@@ -177,16 +240,24 @@ def make_handler(relighter, batcher: MicroBatcher | None = None):
                     )
                 elif self.path == "/estimate":
                     image = _decode_image(req["image"])
-                    unit, ambient = relighter.estimate_lighting(image[None])
+                    if batcher is not None:
+                        # Same single worker thread as /relight: the device
+                        # serialization invariant holds for every endpoint.
+                        unit, amb = batcher.submit_estimate(image)
+                    else:
+                        unit_b, amb_b = relighter.estimate_lighting(image[None])
+                        unit, amb = unit_b[0], float(amb_b[0])
                     self._json(
                         200,
                         {
-                            "direction": [float(v) for v in unit[0]],
-                            "ambient": float(ambient[0]),
+                            "direction": [float(v) for v in unit],
+                            "ambient": float(amb),
                         },
                     )
                 else:
                     self._json(404, {"error": "not found"})
+            except (FutTimeout, WorkerDied) as e:
+                self._json(503, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # noqa: BLE001
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 

@@ -74,3 +74,15 @@ def test_presets_registry_complete():
         cfg = factory()
         # round-trips through dict serialisation
         assert C.from_dict(C.to_dict(cfg)) == cfg
+
+
+def test_render_config_rejects_odd_dimensions():
+    import pytest
+
+    from geomconsistentfr_tpu.config import RenderConfig
+
+    with pytest.raises(ValueError, match="even"):
+        RenderConfig(img_height=65, img_width=64)
+    with pytest.raises(ValueError, match="even"):
+        RenderConfig(img_height=64, img_width=63)
+    RenderConfig(img_height=64, img_width=64)  # fine

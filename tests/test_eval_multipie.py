@@ -143,3 +143,62 @@ def test_evaluate_with_real_lpips_metric(fake_eval_data, tmp_path):
     assert "masked_lpips_mean" in metrics and "masked_lpips_std" in metrics
     assert np.isfinite(metrics["masked_lpips_mean"])
     assert metrics["masked_lpips_mean"] >= 0
+
+
+def test_run_inference_rejects_mispaired_triples(fake_eval_data, tmp_path):
+    """A stray file in the mask directory must raise at inference time (the
+    reference's positional zip would silently shift every later lighting)."""
+    import shutil
+
+    from geomconsistentfr_tpu.metrics.eval_multipie import run_inference
+
+    root = str(tmp_path / "skewed")
+    shutil.copytree(fake_eval_data, root)
+    mask_dir = os.path.join(root, "MP_depth_masks_fill_nose")
+    first = sorted(os.listdir(mask_dir))[0]
+    # Duplicate the first mask under a name that sorts before everything,
+    # shifting the positional pairing by one.
+    shutil.copy(
+        os.path.join(mask_dir, first), os.path.join(mask_dir, "aaa_stray999.png")
+    )
+    # Match counts so only the id check can catch it.
+    extra = np.zeros((64, 64, 3), np.uint8)
+    import imageio.v2 as imageio
+
+    imageio.imwrite(
+        os.path.join(root, "input_images_MP_18_lightings", "img998.png"), extra
+    )
+    imageio.imwrite(
+        os.path.join(root, "groundtruth_images_MP_18_lightings", "img998_4.png"),
+        extra,
+    )
+
+    with pytest.raises(ValueError, match="mispaired"):
+        run_inference(
+            relighter=None,  # must raise before any device work
+            input_dir=os.path.join(root, "input_images_MP_18_lightings"),
+            gt_dir=os.path.join(root, "groundtruth_images_MP_18_lightings"),
+            lighting_mat=os.path.join(root, "MP_lighting_directions.mat"),
+            mask_fill_nose_dir=os.path.join(root, "MP_depth_masks_fill_nose"),
+            output_dir=str(tmp_path / "out"),
+        )
+
+
+def test_run_inference_rejects_count_mismatch(fake_eval_data, tmp_path):
+    from geomconsistentfr_tpu.metrics.eval_multipie import run_inference
+
+    import shutil
+
+    root = str(tmp_path / "short")
+    shutil.copytree(fake_eval_data, root)
+    mask_dir = os.path.join(root, "MP_depth_masks_fill_nose")
+    os.remove(os.path.join(mask_dir, sorted(os.listdir(mask_dir))[0]))
+    with pytest.raises(ValueError, match="count mismatch"):
+        run_inference(
+            relighter=None,
+            input_dir=os.path.join(root, "input_images_MP_18_lightings"),
+            gt_dir=os.path.join(root, "groundtruth_images_MP_18_lightings"),
+            lighting_mat=os.path.join(root, "MP_lighting_directions.mat"),
+            mask_fill_nose_dir=os.path.join(root, "MP_depth_masks_fill_nose"),
+            output_dir=str(tmp_path / "out"),
+        )

@@ -84,3 +84,38 @@ def test_parameter_count_matches_reference():
         shapes = jax.eval_shape(lambda m=model: m.init(jax.random.PRNGKey(0), x))
         n = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(shapes["params"]))
         assert n == want, (variant, n, want)
+
+
+def test_bfloat16_compute_dtype(setup):
+    """compute_dtype='bfloat16' keeps params/BN stats f32, returns f32
+    outputs close to the f32 path, and updates BN stats in train mode."""
+    model, variables, x = setup
+    bf16 = RelightNet(cfg=ModelConfig(variant="target", compute_dtype="bfloat16"))
+
+    # Same variables work for both (params are stored f32 regardless).
+    ref = model.apply(variables, x, train=False)
+    out = bf16.apply(variables, x, train=False)
+    for field in ("albedo", "depth", "lighting"):
+        assert getattr(out, field).dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(out.albedo), np.asarray(ref.albedo), atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.lighting), np.asarray(ref.lighting), atol=0.05
+    )
+
+    # Fresh init under bf16 still stores f32 params and f32 BN stats.
+    v2 = bf16.init(jax.random.PRNGKey(1), x, train=False)
+    for leaf in jax.tree.leaves(v2):
+        assert leaf.dtype == jnp.float32
+
+    # Train mode updates running stats in f32.
+    _, mutated = bf16.apply(v2, x, train=True, mutable=["batch_stats"])
+    for leaf in jax.tree.leaves(mutated["batch_stats"]):
+        assert leaf.dtype == jnp.float32
+
+
+def test_compute_dtype_rejects_unknown():
+    bad = RelightNet(cfg=ModelConfig(compute_dtype="float16"))
+    with pytest.raises(ValueError, match="compute_dtype"):
+        bad.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))

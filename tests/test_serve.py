@@ -175,3 +175,128 @@ def test_threaded_server_micro_batching():
         server.shutdown()
     finally:
         serve_mod._decode_image = orig
+
+
+def test_concurrent_mixed_relight_and_estimate():
+    """/estimate is serialized through the SAME worker thread as /relight:
+    concurrent mixed traffic succeeds, never runs two device programs at
+    once, and a malformed /relight 400s only its own caller."""
+    from http.server import ThreadingHTTPServer
+
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.serve import MicroBatcher, make_handler
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=64, img_width=64,
+            num_sample_points=16, t_stop=0.105, march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    relighter = Relighter(cfg, variables)
+
+    # Track that device entry points never run concurrently.
+    lock = threading.Lock()
+    in_flight = {"n": 0, "max": 0}
+
+    def tracking(fn):
+        def wrapped(*a, **kw):
+            with lock:
+                in_flight["n"] += 1
+                in_flight["max"] = max(in_flight["max"], in_flight["n"])
+            try:
+                return fn(*a, **kw)
+            finally:
+                with lock:
+                    in_flight["n"] -= 1
+        return wrapped
+
+    relighter.forward = tracking(relighter.forward)
+    relighter.estimate_lighting = tracking(relighter.estimate_lighting)
+    batcher = MicroBatcher(relighter, max_batch=4, window_ms=50.0)
+
+    import geomconsistentfr_tpu.serve as serve_mod
+
+    orig = serve_mod._decode_image
+    serve_mod._decode_image = lambda b64, size=64: orig(b64, size=64)
+    try:
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(relighter, batcher)
+        )
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+
+        rng = np.random.default_rng(2)
+        img = rng.uniform(size=(64, 64, 3))
+        mask = np.ones((64, 64, 3))
+
+        import http.client
+
+        results = {}
+
+        def post(name, path, body):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+            conn.request("POST", path, json.dumps(body))
+            resp = conn.getresponse()
+            results[name] = (resp.status, json.loads(resp.read()))
+
+        jobs = [
+            ("r1", "/relight", {"image": _png_b64(img), "mask": _png_b64(mask),
+                                "light_preset": "multipie_14"}),
+            ("e1", "/estimate", {"image": _png_b64(img)}),
+            ("r2", "/relight", {"image": _png_b64(img), "mask": _png_b64(mask),
+                                "light_preset": "multipie_10"}),
+            ("e2", "/estimate", {"image": _png_b64(img)}),
+            # Malformed light: must 400 without poisoning any batch.
+            ("bad", "/relight", {"image": _png_b64(img), "mask": _png_b64(mask),
+                                 "light": [1.0, 0.0]}),
+        ]
+        threads = [
+            threading.Thread(target=post, args=j) for j in jobs
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+
+        assert results["r1"][0] == 200 and results["r2"][0] == 200, results
+        assert results["e1"][0] == 200 and results["e2"][0] == 200, results
+        assert results["bad"][0] == 400, results["bad"]
+        assert "light" in results["bad"][1]["error"]
+        np.testing.assert_allclose(
+            np.linalg.norm(results["e1"][1]["direction"]), 1.0, rtol=1e-4
+        )
+        assert in_flight["max"] == 1, in_flight
+        server.shutdown()
+    finally:
+        serve_mod._decode_image = orig
+
+
+def test_worker_death_returns_503():
+    """If the worker thread is gone, handlers return 503, not a hang."""
+    from geomconsistentfr_tpu.serve import MicroBatcher, WorkerDied
+
+    class Boom:
+        def forward(self, *a, **k):
+            raise SystemExit("device lost")  # BaseException
+
+    batcher = MicroBatcher(Boom(), max_batch=2, window_ms=1.0,
+                           request_timeout_s=30.0)
+    img = np.zeros((64, 64, 3), np.float32)
+    mask = np.ones((64, 64), np.float32)
+    light = np.asarray([0.0, 0.0, 1.0], np.float32)
+    # BaseException from the forward is converted to WorkerDied on the future
+    # and the worker thread survives for subsequent requests.
+    import pytest
+
+    with pytest.raises(WorkerDied):
+        batcher.submit(img, mask, light, np.float32(0.5))
+    with pytest.raises(WorkerDied):
+        batcher.submit(img, mask, light, np.float32(0.5))
+    assert batcher._thread.is_alive()
