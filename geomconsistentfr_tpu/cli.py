@@ -150,16 +150,21 @@ def cmd_eval_multipie(args) -> int:
     if args.lpips_trunk or args.lpips_random_trunk:
         from geomconsistentfr_tpu.models.lpips import LPIPSMetric, load_trunk_state
 
-        trunk = load_trunk_state(args.lpips_trunk) if args.lpips_trunk else None
+        trunk = (
+            load_trunk_state(args.lpips_trunk, net=args.lpips_net)
+            if args.lpips_trunk
+            else None
+        )
         lpips_fn = LPIPSMetric(
             lin_weights_path=args.lpips_lin,
             trunk_state=trunk,
             allow_random_trunk=args.lpips_random_trunk,
+            net=args.lpips_net,
         )
     else:
         print(
-            "note: LPIPS skipped — no AlexNet trunk weights supplied "
-            "(pass --lpips-trunk <torchvision alexnet .pth/.npz>); reporting "
+            "note: LPIPS skipped — no trunk weights supplied "
+            "(pass --lpips-trunk <torchvision .pth/.npz>); reporting "
             "masked MSE/DSSIM/PSNR only",
             file=sys.stderr,
         )
@@ -334,13 +339,21 @@ def main(argv=None) -> int:
     p.add_argument(
         "--lpips-trunk",
         default=None,
-        help="AlexNet trunk weights (.pth/.pt torchvision state_dict or .npz)"
-        " — enables the masked spatial LPIPS metric (test_network.py:30-52)",
+        help="trunk weights (.pth/.pt torchvision state_dict or .npz) for "
+        "--lpips-net — enables the masked spatial LPIPS metric "
+        "(test_network.py:30-52)",
+    )
+    p.add_argument(
+        "--lpips-net",
+        default="alex",
+        choices=("alex", "vgg", "squeeze"),
+        help="LPIPS trunk architecture (lpips/lpips.py:32-40)",
     )
     p.add_argument(
         "--lpips-lin",
-        default="/root/reference/PerceptualSimilarity/lpips/weights/v0.1/alex.pth",
-        help="LPIPS linear-head weights (bundled with the reference)",
+        default=None,
+        help="LPIPS linear-head weights (default: the reference's bundled "
+        "weights/v0.1/<net>.pth)",
     )
     p.add_argument(
         "--lpips-random-trunk",

@@ -34,7 +34,79 @@ def _normalize(feat, eps=1e-10):
     return feat / (norm + eps)
 
 
-def lpips_spatial_torch(x01, y01, trunk_weights, lin_weights):
+def _conv(trunk_weights, name):
+    kern = torch.from_numpy(
+        np.asarray(trunk_weights[name]["kernel"], np.float32)
+    ).permute(3, 2, 0, 1)  # HWIO -> OIHW
+    bias = torch.from_numpy(np.asarray(trunk_weights[name]["bias"], np.float32))
+    return kern, bias
+
+
+def alex_taps(z, trunk_weights):
+    """AlexNet slices (pretrained_networks.py alexnet)."""
+    outs = []
+    for i, (_, _, k, s, p) in enumerate(CONVS):
+        kern, bias = _conv(trunk_weights, f"conv{i}")
+        z = F.relu(F.conv2d(z, kern, bias, stride=s, padding=p))
+        outs.append(z)
+        if i in POOL_AFTER:
+            z = F.max_pool2d(z, 3, stride=2)
+    return outs
+
+
+# vgg16 conv channels; taps after ReLUs of convs 1/3/6/9/12 (= torchvision
+# features 3/8/15/22/29); maxpool(2,2) between tap groups.
+VGG_TAPS = (1, 3, 6, 9, 12)
+
+
+def vgg_taps(z, trunk_weights):
+    """VGG16 slices (pretrained_networks.py vgg16: relu{1_2..5_3})."""
+    outs = []
+    for i in range(13):
+        kern, bias = _conv(trunk_weights, f"conv{i}")
+        z = F.relu(F.conv2d(z, kern, bias, stride=1, padding=1))
+        if i in VGG_TAPS:
+            outs.append(z)
+            if i != VGG_TAPS[-1]:
+                z = F.max_pool2d(z, 2, stride=2)
+    return outs
+
+
+SQUEEZE_FIRES = (3, 4, 6, 7, 9, 10, 11, 12)
+SQUEEZE_TAPS = (1, 4, 7, 9, 10, 11, 12)
+SQUEEZE_POOLS = (2, 5, 8)
+
+
+def squeeze_taps(z, trunk_weights):
+    """SqueezeNet1_1 slices (pretrained_networks.py squeezenet, 7 taps;
+    torchvision fire modules with ceil-mode maxpool(3, 2))."""
+    def fire(x, idx):
+        ks, bs = _conv(trunk_weights, f"fire{idx}_squeeze")
+        s = F.relu(F.conv2d(x, ks, bs))
+        k1, b1 = _conv(trunk_weights, f"fire{idx}_expand1")
+        k3, b3 = _conv(trunk_weights, f"fire{idx}_expand3")
+        return torch.cat(
+            [F.relu(F.conv2d(s, k1, b1)), F.relu(F.conv2d(s, k3, b3, padding=1))],
+            dim=1,
+        )
+
+    outs = []
+    k0, b0 = _conv(trunk_weights, "conv0")
+    z = F.relu(F.conv2d(z, k0, b0, stride=2))
+    for idx in range(1, 13):
+        if idx in SQUEEZE_POOLS:
+            z = F.max_pool2d(z, 3, stride=2, ceil_mode=True)
+        elif idx in SQUEEZE_FIRES:
+            z = fire(z, idx)
+        if idx in SQUEEZE_TAPS:
+            outs.append(z)
+    return outs
+
+
+TAP_FNS = {"alex": alex_taps, "vgg": vgg_taps, "squeeze": squeeze_taps}
+
+
+def lpips_spatial_torch(x01, y01, trunk_weights, lin_weights, net="alex"):
     """Masked-eval LPIPS map per the reference formulas.
 
     Args:
@@ -42,6 +114,7 @@ def lpips_spatial_torch(x01, y01, trunk_weights, lin_weights):
       trunk_weights: {'convI': {'kernel': HWIO, 'bias': (O,)}} — the Flax
         trunk params, converted here to torch OIHW.
       lin_weights: {'linI': {'kernel': (1, 1, C, 1)}} — Flax lin heads.
+      net: 'alex' | 'vgg' | 'squeeze' (lpips.py:32-40 trunk selection).
     Returns: (H, W) float32 distance map.
     """
     def to_t(img):
@@ -53,19 +126,7 @@ def lpips_spatial_torch(x01, y01, trunk_weights, lin_weights):
 
     def taps(inp):
         z = (inp - SHIFT) / SCALE  # ScalingLayer, lpips.py:152-159
-        outs = []
-        for i, (_, _, k, s, p) in enumerate(CONVS):
-            kern = torch.from_numpy(
-                np.asarray(trunk_weights[f"conv{i}"]["kernel"], np.float32)
-            ).permute(3, 2, 0, 1)  # HWIO -> OIHW
-            bias = torch.from_numpy(
-                np.asarray(trunk_weights[f"conv{i}"]["bias"], np.float32)
-            )
-            z = F.relu(F.conv2d(z, kern, bias, stride=s, padding=p))
-            outs.append(z)
-            if i in POOL_AFTER:
-                z = F.max_pool2d(z, 3, stride=2)
-        return outs
+        return TAP_FNS[net](z, trunk_weights)
 
     fx, fy = taps(xa), taps(xb)
     total = torch.zeros(1, 1, h, w)

@@ -96,33 +96,34 @@ def test_crop_geometry():
     assert crop_face(img, (0, 0, 100, 150)) is None
 
 
-def test_lpips_matches_torch_transcription_oracle():
+@pytest.mark.parametrize("net", ["alex", "vgg", "squeeze"])
+def test_lpips_matches_torch_transcription_oracle(net):
     """Flax LPIPS == reference-formula torch oracle with shared weights.
 
-    Validates the scaling layer, conv/pool geometry, unit-L2 normalisation
-    (eps 1e-10), squared diff, 1x1 lin heads, and the align_corners=False
-    bilinear spatial upsample against lpips/lpips.py:22-241 semantics.
-    """
+    Validates the scaling layer, conv/pool geometry (incl. squeezenet's
+    ceil-mode pools and fire modules), unit-L2 normalisation (eps 1e-10),
+    squared diff, the bundled 1x1 lin heads (5 for alex/vgg, 7 for squeeze),
+    and the align_corners=False bilinear spatial upsample against
+    lpips/lpips.py:22-241 + pretrained_networks.py:1-180 semantics, for all
+    three trunks."""
     import jax
 
     from geomconsistentfr_tpu.models.lpips import LPIPSMetric
     from tests.oracles.lpips_torch_oracle import lpips_spatial_torch
 
-    metric = LPIPSMetric(
-        lin_weights_path="/root/reference/PerceptualSimilarity/lpips/weights/v0.1/alex.pth",
-        allow_random_trunk=True,
-    )
+    metric = LPIPSMetric(net=net, allow_random_trunk=True)
     params = metric._variables["params"]
     trunk = jax.tree.map(np.asarray, dict(params["trunk"]))
     lins = {k: jax.tree.map(np.asarray, dict(v))
             for k, v in params.items() if k.startswith("lin")}
+    assert len(lins) == (7 if net == "squeeze" else 5)
 
     rng = np.random.default_rng(11)
     a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
     b = np.clip(a + 0.1 * rng.normal(size=a.shape), 0, 1).astype(np.float32)
 
     got = metric(a, b)
-    want = lpips_spatial_torch(a, b, trunk, lins)
+    want = lpips_spatial_torch(a, b, trunk, lins, net=net)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-5)
 
 
