@@ -120,18 +120,28 @@ class RenderConfig:
     shadow_slab_interleave: bool = False
 
     # How the kernel gathers the face-mask veto per march sample:
-    #   'onehot'  exact one-hot matmul at the banker's-rounded coordinate
-    #             (bit-matches the reference veto);
-    #   'hat'     reuse the depth lookup's hat weights on a widened
-    #             [depth | indicator] operand and threshold the interpolated
-    #             indicator at 0.5 — one matmul instead of two and two fewer
-    #             VPU builds per step. Selects the nearest tap of the
-    #             -1e-4-shifted coordinate, which can differ from the
-    #             reference's rounded coordinate within 1e-4 of half-integer
-    #             sample positions (measure-zero band; fast-mode only).
-    #   'auto'    currently 'onehot' (measured on v5e: 'hat' saves <1% —
-    #             the widened matmul offsets the two saved VPU builds — so
-    #             the exact veto wins at equal speed).
+    #   'onehot'   exact one-hot matmuls on both axes at the banker's-rounded
+    #              coordinate (bit-matches the reference veto);
+    #   'hat'      reuse the depth lookup's hat weights on a widened
+    #              [depth | indicator] operand and threshold the interpolated
+    #              indicator at 0.5 — one matmul instead of two and two fewer
+    #              VPU builds per step. Selects the nearest x tap of the
+    #              -1e-4-shifted coordinate, which can differ from the
+    #              reference's rounded coordinate within 1e-4 of half-integer
+    #              sample positions (measure-zero band; fast-mode only).
+    #   'hat_y'    exact one-hot x gather; the y tap reuses the depth
+    #              lookup's hat_y weights (threshold 0.5 = nearest row of the
+    #              shifted coordinate). Two fewer VPU builds per step than
+    #              'onehot' with the same knife-edge-only deviation as 'hat'.
+    #   'bilinear' threshold the full BILINEAR-interpolated indicator at 0.5,
+    #              reusing both hat builds (four fewer VPU passes per step,
+    #              one extra hat matmul). NOT a nearest-corner gather: the
+    #              veto can flip inside the half-pixel band along the mask
+    #              boundary (measured: no visible golden-parity impact,
+    #              50.1 dB vs the exact fast path's 50.3 dB on 00104).
+    #   'auto'     'onehot' for strict/high precision (exactness first);
+    #              'bilinear' for the fast bf16 mode (the march is VPU-
+    #              build-bound; v5e: 49.5 -> 38.3 ms/img, TODO.md).
     shadow_mask_gather: str = "auto"
 
     # How the kernel's per-step (SUB, W, H) -> (SUB, W) weighted reductions
@@ -259,6 +269,9 @@ class TrainConfig:
     sync_batch_norm: bool = True
     checkpoint_every_steps: int = 700
     checkpoint_dir: str = "checkpoints"
+    # Retention: keep only the newest N step_* checkpoints (<= 0 keeps all;
+    # the reference saves every epoch forever, train_raytracing_...py:684-685).
+    keep_checkpoints: int = 3
     log_every_steps: int = 1
 
 

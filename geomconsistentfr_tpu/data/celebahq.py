@@ -46,6 +46,18 @@ def build_cache(src_root: str, cache_dir: str, limit: Optional[int] = None) -> i
     import imageio.v2 as imageio
     import scipy.io
 
+    # JPEG fields decode through the native threaded libjpeg path when the
+    # shared library built with it (native/dataloader.cc); imageio otherwise.
+    from geomconsistentfr_tpu.data import native_loader
+
+    if native_loader.has_native_jpeg():
+        def read_jpg(path, channels):
+            return native_loader.decode_jpeg(path, 256, 256, channels)
+    else:
+        def read_jpg(path, channels):
+            img = np.asarray(imageio.imread(path))
+            return img[..., :channels] if channels == 3 else img.reshape(256, 256)
+
     depths = sorted(os.listdir(os.path.join(src_root, "depth_maps_CelebA-HQ")))
     if limit:
         depths = depths[:limit]
@@ -81,17 +93,14 @@ def build_cache(src_root: str, cache_dir: str, limit: Optional[int] = None) -> i
             (256, 256),
         )
         maps["depth_mask"][i] = depth_mask
-        maps["image"][i] = imageio.imread(
-            os.path.join(src_root, "CelebA-HQ_DFNRMVS_cropped", stem + ".jpg")
+        maps["image"][i] = read_jpg(
+            os.path.join(src_root, "CelebA-HQ_DFNRMVS_cropped", stem + ".jpg"), 3
         )
-        maps["albedo_gt"][i] = imageio.imread(
-            os.path.join(src_root, "CelebA-HQ_albedo_grayscale", stem + ".jpg")
+        maps["albedo_gt"][i] = read_jpg(
+            os.path.join(src_root, "CelebA-HQ_albedo_grayscale", stem + ".jpg"), 1
         )
-        face = np.reshape(
-            imageio.imread(
-                os.path.join(src_root, "CelebAHQ_face_masks", stem + ".jpg")
-            ),
-            (256, 256),
+        face = read_jpg(
+            os.path.join(src_root, "CelebAHQ_face_masks", stem + ".jpg"), 1
         )
         fill = np.maximum(face, depth_mask)
         maps["face_mask"][i] = np.where(fill > 128, 255, 0).astype(np.uint8)

@@ -31,16 +31,22 @@ _SO = os.path.join(_NATIVE_DIR, "libgcfr_dataloader.so")
 
 
 def build_library(force: bool = False) -> str:
-    """Compile the loader with g++ if needed; returns the .so path."""
+    """Compile the loader with g++ if needed; returns the .so path.
+
+    Links libjpeg for the direct-JPEG decode path when available; if the
+    link fails (header without library, unusual distros) it rebuilds with
+    JPEG support compiled out and the Python side falls back to imageio."""
     if force or not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        subprocess.run(
-            [
-                "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-                "-pthread", _SRC, "-o", _SO,
-            ],
-            check=True,
-            capture_output=True,
-        )
+        base = [
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            "-pthread", _SRC, "-o", _SO,
+        ]
+        try:
+            subprocess.run(base + ["-ljpeg"], check=True, capture_output=True)
+        except subprocess.CalledProcessError:
+            subprocess.run(
+                base + ["-DGCFR_NO_JPEG"], check=True, capture_output=True
+            )
     return _SO
 
 
@@ -56,8 +62,62 @@ def _lib() -> ctypes.CDLL:
         fp = ctypes.POINTER(ctypes.c_float)
         lib.gcfr_loader_next.argtypes = [ctypes.c_void_p] + [fp] * 6
         lib.gcfr_loader_destroy.argtypes = [ctypes.c_void_p]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.gcfr_has_jpeg.restype = ctypes.c_int
+        lib.gcfr_decode_jpeg.restype = ctypes.c_int
+        lib.gcfr_decode_jpeg.argtypes = [
+            ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.gcfr_decode_jpegs.restype = ctypes.c_int
+        lib.gcfr_decode_jpegs.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, u8p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         _LIB_CACHE = lib
     return _LIB_CACHE
+
+
+def has_native_jpeg() -> bool:
+    """True when the shared library was built with libjpeg support."""
+    try:
+        return bool(_lib().gcfr_has_jpeg())
+    except Exception:  # noqa: BLE001 - toolchain missing -> no native path
+        return False
+
+
+def decode_jpeg(path: str, height: int, width: int, channels: int) -> np.ndarray:
+    """Decode one JPEG natively into (H, W, C) uint8 (C=1: grayscale).
+
+    Raises on IO/corruption/dimension mismatch — silent rescaling would hide
+    dataset corruption in the fixed-256x256 CelebA-HQ pipeline."""
+    out = np.empty((height, width, channels), np.uint8)
+    rc = _lib().gcfr_decode_jpeg(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        height, width, channels,
+    )
+    if rc != 0:
+        raise ValueError(f"native JPEG decode failed (code {rc}): {path}")
+    return out[..., 0] if channels == 1 else out
+
+
+def decode_jpegs(
+    paths, height: int, width: int, channels: int, workers: int = 4
+) -> np.ndarray:
+    """Threaded native batch decode -> (N, H, W, C) uint8.
+
+    Raises if any file fails (failed slots are zero-filled by the C side,
+    but a corrupt training set should stop the cache build, not poison it)."""
+    paths = list(paths)
+    out = np.empty((len(paths), height, width, channels), np.uint8)
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    failures = _lib().gcfr_decode_jpegs(
+        arr, len(paths),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        height, width, channels, workers,
+    )
+    if failures:
+        raise ValueError(f"native JPEG batch decode: {failures} file(s) failed")
+    return out[..., 0] if channels == 1 else out
 
 
 class NativeCelebAHQLoader:

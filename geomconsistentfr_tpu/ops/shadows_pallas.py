@@ -62,9 +62,10 @@ def _march_kernel(
     tile_rows: int,
     precision,
     unroll: int,
-    mask_hat: bool,
+    mask_mode: str,
     want_tstar: bool,
 ):
+    mask_hat = mask_mode == "hat"
     rest = list(rest_refs)
     indicator_t_ref = None if mask_hat else rest.pop(0)
     out_ref = rest.pop(0)
@@ -262,10 +263,36 @@ def _march_kernel(
         ytc = jnp.clip(yt, 0.0, h - 1.0)
 
         # Hat x-weights -> MXU: B[p, r] = x-interpolated depth at row r.
-        wx = hat(cls_wf, xtc).reshape(sub * w, w)
-        onehot_yr = jnp.where(cls_hf == yr[..., None], 1.0, 0.0)
+        hat_x = hat(cls_wf, xtc)
+        wx = hat_x.reshape(sub * w, w)
+        hat_y = hat(cls_hf, ytc)
 
-        if mask_hat:
+        def indicator_rows(weights2d, exact: bool):
+            """(P, W) weights @ indicator^T: indicator gathered per row."""
+            return jax.lax.dot_general(
+                weights2d,
+                indicator_t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                # 1.0 x {0,1} one-hot products are exact at any precision;
+                # hat-weighted gathers follow the kernel's precision mode.
+                precision=jax.lax.Precision.DEFAULT if exact else (
+                    jax.lax.Precision.HIGHEST
+                    if precision == "high"
+                    else precision
+                ),
+            ).reshape(sub, w, h)
+
+        def onehot_x_rows():
+            # Mask veto x-gather: one-hot at the banker's-rounded x
+            # (:449-454), exact at any matmul precision.
+            xr = jnp.clip(jnp.round(sx) + w / 2.0, 0, w - 1)
+            ind_onehot = jnp.where(
+                cls_wf == xr[..., None], 1.0, 0.0
+            ).reshape(sub * w, w)
+            return indicator_rows(ind_onehot, exact=True)
+
+        if mask_mode == "hat":
             # One widened matmul gathers depth AND the hat-interpolated
             # indicator; thresholding the indicator at 0.5 selects the
             # nearest tap's value (the taps are {0,1} and the two hat
@@ -276,33 +303,48 @@ def _march_kernel(
             # including the systematic exact-half hits from integer
             # pixel-to-border spans, ~0.3% of pixels on random masks
             # (see RenderConfig.shadow_mask_gather).
+            onehot_yr = jnp.where(cls_hf == yr[..., None], 1.0, 0.0)
             bw = gather_dot(wx).reshape(sub, w, 2 * h)
             b = bw[:, :, :h]
-            d_interp = reduce_h(b, hat(cls_hf, ytc), exact_products=False)
+            d_interp = reduce_h(b, hat_y, exact_products=False)
             vsel = reduce_h(bw[:, :, h:], onehot_yr, exact_products=True)
             on_face = jnp.where(vsel > 0.5, 1.0, 0.0)
-        else:
+        elif mask_mode == "onehot":
             b = gather_dot(wx).reshape(sub, w, h)
-
-            # Hat y reduction (lane-axis reduce -> (SUB, W)).
-            d_interp = reduce_h(b, hat(cls_hf, ytc), exact_products=False)
-
-            # Mask veto: one-hot gather of the 0/1 indicator at the
-            # banker's-rounded x (:449-454). A single 1.0 x {0,1}
-            # product per output is exact even in bf16 passes, so this
-            # matmul always uses the fast default precision.
-            xr = jnp.clip(jnp.round(sx) + w / 2.0, 0, w - 1)
-            ind_onehot = jnp.where(
-                cls_wf == xr[..., None], 1.0, 0.0
-            ).reshape(sub * w, w)
-            mrows = jax.lax.dot_general(
-                ind_onehot,
-                indicator_t,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            ).reshape(sub, w, h)
-            on_face = reduce_h(mrows, onehot_yr, exact_products=True)
+            d_interp = reduce_h(b, hat_y, exact_products=False)
+            # Exact veto: one-hot gathers on BOTH axes (bit-matches the
+            # reference's rounded-coordinate indicator lookup).
+            onehot_yr = jnp.where(cls_hf == yr[..., None], 1.0, 0.0)
+            on_face = reduce_h(onehot_x_rows(), onehot_yr, exact_products=True)
+        elif mask_mode == "hat_y":
+            # Exact one-hot x gather; the y tap is selected by REUSING the
+            # depth lookup's hat_y weights (two taps summing to 1 -> the
+            # >0.5 threshold picks the nearest row of the -1e-4-shifted
+            # coordinate). Drops the onehot_y build: 2 fewer VPU passes
+            # per step than 'onehot'. Veto differs from the reference's
+            # banker's-rounded row only within 1e-4 of half-integer sample
+            # rows (same knife-edge class as 'hat').
+            b = gather_dot(wx).reshape(sub, w, h)
+            d_interp = reduce_h(b, hat_y, exact_products=False)
+            vsel = reduce_h(onehot_x_rows(), hat_y, exact_products=True)
+            on_face = jnp.where(vsel > 0.5, 1.0, 0.0)
+        elif mask_mode == "bilinear":
+            # Fast-mode approximation: veto = thresholded BILINEAR interp
+            # of the indicator at the shifted sample position, reusing BOTH
+            # hat builds (4 fewer VPU passes per step than 'onehot'; one
+            # extra hat-weighted MXU matmul). Unlike the other modes this
+            # is not a nearest-corner gather: within the ~half-pixel band
+            # where bilinear(indicator) crosses 0.5 on a different side
+            # than the rounded-corner lookup, the veto flips. Off-face
+            # regions still veto exactly (all four taps 0), on-face
+            # interiors never veto (all four taps 1).
+            b = gather_dot(wx).reshape(sub, w, h)
+            d_interp = reduce_h(b, hat_y, exact_products=False)
+            vsel = reduce_h(indicator_rows(wx, exact=False), hat_y,
+                            exact_products=True)
+            on_face = jnp.where(vsel > 0.5, 1.0, 0.0)
+        else:
+            raise ValueError(f"unknown mask_mode: {mask_mode}")
 
         # 3D point-to-line distance (:478-487); sample xy keeps the
         # shift. The per-pixel denominator is constant across steps and
@@ -504,15 +546,27 @@ def ray_march_min_distance_pallas(
     }[cfg.shadow_matmul_precision]
     mask_mode = cfg.shadow_mask_gather
     if mask_mode == "auto":
-        mask_mode = "onehot"  # measured: 'hat' saves <1% on v5e; exact wins
-    mask_hat = {"hat": True, "onehot": False}[mask_mode]
+        # Strict/high precision keep the exact two-axis one-hot veto. The
+        # fast (bf16) serving mode reuses both hat builds for the veto
+        # ('bilinear'): the march is VPU-build-bound and this drops 4 of
+        # ~14 per-step VPU passes. Measured on v5e (batch 16, 256^2, 160
+        # samples): onehot 49.5 ms/img, hat_y 44.7, bilinear 38.3; golden
+        # 00104 parity 50.3 / 50.2 / 50.1 dB respectively — the boundary-
+        # band veto flips are invisible next to the fast mode's own bf16
+        # interp noise. 'hat'/'hat_y' remain opt-in.
+        mask_mode = (
+            "bilinear" if precision == jax.lax.Precision.DEFAULT else "onehot"
+        )
+    if mask_mode not in ("onehot", "hat", "hat_y", "bilinear"):
+        raise ValueError(f"unknown shadow_mask_gather: {mask_mode}")
+    mask_hat = mask_mode == "hat"
     kernel = functools.partial(
         _march_kernel,
         cfg=cfg,
         tile_rows=tile_rows,
         precision=precision,
         unroll=cfg.shadow_unroll,
-        mask_hat=mask_hat,
+        mask_mode=mask_mode,
         want_tstar=return_argmin_t,
     )
 

@@ -300,10 +300,10 @@ class Trainer:
         from geomconsistentfr_tpu.utils import checkpoint as ckpt
 
         step = int(jax.device_get(state.step))
-        path = os.path.join(
-            self.workdir, self.cfg.train.checkpoint_dir, f"step_{step:08d}"
-        )
+        root = os.path.join(self.workdir, self.cfg.train.checkpoint_dir)
+        path = os.path.join(root, f"step_{step:08d}")
         ckpt.save_variables(path, state)
+        ckpt.prune_step_dirs(root, self.cfg.train.keep_checkpoints)
         return path
 
     def _device_prefetch(self, batches, depth: int = 2):

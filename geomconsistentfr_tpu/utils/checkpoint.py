@@ -37,10 +37,9 @@ def restore_variables(path: str, template: Optional[Any] = None) -> Any:
     )
 
 
-def latest_step_dir(root: str) -> Optional[str]:
-    """Find the highest-numbered step_* checkpoint directory under root."""
+def _step_dirs(root: str) -> list[tuple[int, str]]:
     if not os.path.isdir(root):
-        return None
+        return []
     steps = []
     for name in os.listdir(root):
         if name.startswith("step_"):
@@ -48,6 +47,32 @@ def latest_step_dir(root: str) -> Optional[str]:
                 steps.append((int(name.split("_", 1)[1]), name))
             except ValueError:
                 continue
+    return sorted(steps)
+
+
+def latest_step_dir(root: str) -> Optional[str]:
+    """Find the highest-numbered step_* checkpoint directory under root."""
+    steps = _step_dirs(root)
     if not steps:
         return None
-    return os.path.join(root, max(steps)[1])
+    return os.path.join(root, steps[-1][1])
+
+
+def prune_step_dirs(root: str, keep: int) -> list[str]:
+    """Retention policy: delete all but the newest `keep` step_* checkpoints.
+
+    keep <= 0 disables pruning (keep everything). Returns the removed paths.
+    The reference keeps every per-epoch torch.save (train_raytracing_...py:
+    684-685) and fills the disk on long runs; this bounds checkpoint storage
+    while resume always uses latest_step_dir.
+    """
+    import shutil
+
+    if keep <= 0:
+        return []
+    removed = []
+    for _, name in _step_dirs(root)[:-keep]:
+        path = os.path.join(root, name)
+        shutil.rmtree(path)
+        removed.append(path)
+    return removed

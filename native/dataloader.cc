@@ -239,3 +239,125 @@ void gcfr_loader_next(void* handle, float* image, float* depth_gt,
 void gcfr_loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Direct JPEG decode (libjpeg): removes the Python imageio step from the
+// cache-packing path (build_cache decodes the CelebA-HQ jpgs here, threaded).
+// Compiled in when <jpeglib.h> is available; gcfr_has_jpeg() reports it so
+// the Python binding can fall back to imageio.
+// ---------------------------------------------------------------------------
+
+#if defined(__has_include) && !defined(GCFR_NO_JPEG)
+#if __has_include(<jpeglib.h>)
+#define GCFR_HAVE_JPEG 1
+#endif
+#endif
+
+#ifdef GCFR_HAVE_JPEG
+
+#include <csetjmp>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  std::jmp_buf jmp;
+};
+
+void JpegErrorExit(j_common_ptr cinfo) {
+  std::longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jmp, 1);
+}
+
+// Decode one JPEG file into caller-owned HWC uint8. Requires the decoded
+// dimensions to match (h, w) exactly — the CelebA-HQ pipeline is fixed
+// 256x256 and silent rescaling would hide dataset corruption. channels must
+// be 1 (libjpeg converts to grayscale) or 3 (RGB).
+int DecodeJpegFile(const char* path, uint8_t* out, int h, int w,
+                   int channels) {
+  if (channels != 1 && channels != 3) return 1;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return 2;
+
+  jpeg_decompress_struct cinfo;
+  JpegErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = JpegErrorExit;
+  if (setjmp(err.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return 3;  // corrupt / not a JPEG
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = channels == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  if (static_cast<int>(cinfo.output_width) != w ||
+      static_cast<int>(cinfo.output_height) != h ||
+      static_cast<int>(cinfo.output_components) != channels) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return 4;  // dimension mismatch
+  }
+  const size_t stride = size_t(w) * channels;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + size_t(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int gcfr_has_jpeg() { return 1; }
+
+int gcfr_decode_jpeg(const char* path, uint8_t* out, int h, int w,
+                     int channels) {
+  return DecodeJpegFile(path, out, h, w, channels);
+}
+
+// Threaded batch decode into a contiguous (n, h, w, channels) buffer.
+// Returns the number of failed files (their slots are zero-filled).
+int gcfr_decode_jpegs(const char** paths, int n, uint8_t* out, int h, int w,
+                      int channels, int workers) {
+  if (workers < 1) workers = 1;
+  const size_t frame = size_t(h) * w * channels;
+  std::atomic<int> next(0), failures(0);
+  auto work = [&] {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      uint8_t* dst = out + size_t(i) * frame;
+      if (DecodeJpegFile(paths[i], dst, h, w, channels) != 0) {
+        std::memset(dst, 0, frame);
+        failures.fetch_add(1);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int i = 0; i < workers - 1; ++i) threads.emplace_back(work);
+  work();
+  for (auto& t : threads) t.join();
+  return failures.load();
+}
+
+}  // extern "C"
+
+#else  // !GCFR_HAVE_JPEG
+
+extern "C" {
+int gcfr_has_jpeg() { return 0; }
+int gcfr_decode_jpeg(const char*, uint8_t*, int, int, int) { return -1; }
+int gcfr_decode_jpegs(const char**, int, uint8_t*, int, int, int, int) {
+  return -1;
+}
+}
+
+#endif  // GCFR_HAVE_JPEG

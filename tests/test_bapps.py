@@ -1,0 +1,111 @@
+"""2AFC/JND dataset-directory loaders: round-trip on a tiny synthetic BAPPS
+layout — load, train a step, and score (VERDICT r2 ask #6)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bapps_root(tmp_path_factory):
+    import imageio.v2 as imageio
+
+    root = tmp_path_factory.mktemp("bapps")
+    afc = root / "2afc" / "val" / "traditional"
+    jnd = root / "jnd" / "val" / "traditional"
+    for sub in ("ref", "p0", "p1", "judge"):
+        os.makedirs(afc / sub)
+    for sub in ("p0", "p1", "same"):
+        os.makedirs(jnd / sub)
+
+    rng = np.random.default_rng(0)
+    n = 6
+    for i in range(n):
+        ref = rng.uniform(0.2, 0.8, (64, 64, 3))
+        close = np.clip(ref + 0.02 * rng.normal(size=ref.shape), 0, 1)
+        far = rng.uniform(size=ref.shape)
+        # Even triples: p0 close (judge 0 = humans prefer p0); odd: swapped.
+        p0, p1, judge = (close, far, 0.0) if i % 2 == 0 else (far, close, 1.0)
+        for sub, img in (("ref", ref), ("p0", p0), ("p1", p1)):
+            imageio.imwrite(
+                afc / sub / f"{i:03d}.png", (img * 255).astype(np.uint8)
+            )
+        np.save(afc / "judge" / f"{i:03d}.npy", np.asarray([judge], np.float32))
+
+        # JND pairs: first half identical ("same"=1), second half distinct.
+        same = 1.0 if i < n // 2 else 0.0
+        a = rng.uniform(0.2, 0.8, (64, 64, 3))
+        b = a if same else rng.uniform(size=a.shape)
+        imageio.imwrite(jnd / "p0" / f"{i:03d}.png", (a * 255).astype(np.uint8))
+        imageio.imwrite(jnd / "p1" / f"{i:03d}.png", (b * 255).astype(np.uint8))
+        np.save(jnd / "same" / f"{i:03d}.npy", np.asarray([same], np.float32))
+    return str(root)
+
+
+def test_twoafc_directory_loads_and_batches(bapps_root):
+    from geomconsistentfr_tpu.data.bapps import TwoAFCDirectory
+
+    ds = TwoAFCDirectory(os.path.join(bapps_root, "2afc", "val", "traditional"))
+    assert len(ds) == 6
+    item = ds[0]
+    assert item["ref"].shape == (64, 64, 3)
+    assert item["ref"].dtype == np.float32
+    assert 0.0 <= item["ref"].min() and item["ref"].max() <= 1.0
+    assert item["judge"] == 0.0 and ds[1]["judge"] == 1.0
+
+    batches = list(ds.batches(batch_size=4))
+    assert [b["ref"].shape[0] for b in batches] == [4, 2]
+    assert batches[0]["judge"].shape == (4,)
+    # Multi-root concatenation (reference trains on a list of roots).
+    ds2 = TwoAFCDirectory(
+        [os.path.join(bapps_root, "2afc", "val", "traditional")] * 2
+    )
+    assert len(ds2) == 12
+
+
+def test_twoafc_trains_a_step(bapps_root):
+    from geomconsistentfr_tpu.data.bapps import TwoAFCDirectory
+    from geomconsistentfr_tpu.metrics.lpips_train import LPIPS2AFCTrainer
+
+    ds = TwoAFCDirectory(os.path.join(bapps_root, "2afc", "val", "traditional"))
+    trainer = LPIPS2AFCTrainer(allow_random_trunk=True, lr=3e-3, seed=0)
+    batch = next(ds.batches(batch_size=6))
+    m0 = trainer.train_step(batch)
+    m1 = trainer.train_step(batch)
+    assert np.isfinite([m0["loss_total"], m1["loss_total"]]).all()
+
+
+def test_score_directories(bapps_root):
+    from geomconsistentfr_tpu.data.bapps import (
+        score_2afc_directory,
+        score_jnd_directory,
+    )
+    from geomconsistentfr_tpu.metrics.perceptual import l2_distance
+
+    # L2 orders close-vs-far perfectly, and the synthetic judges agree.
+    afc = score_2afc_directory(
+        os.path.join(bapps_root, "2afc", "val", "traditional"), l2_distance
+    )
+    assert afc == pytest.approx(1.0)
+    jnd = score_jnd_directory(
+        os.path.join(bapps_root, "jnd", "val", "traditional"), l2_distance
+    )
+    assert jnd == pytest.approx(1.0)
+
+
+def test_count_mismatch_raises(bapps_root, tmp_path):
+    import shutil
+
+    from geomconsistentfr_tpu.data.bapps import TwoAFCDirectory
+
+    root = str(tmp_path / "broken")
+    shutil.copytree(
+        os.path.join(bapps_root, "2afc", "val", "traditional"), root
+    )
+    os.remove(os.path.join(root, "judge", "000.npy"))
+    with pytest.raises(ValueError, match="count mismatch"):
+        TwoAFCDirectory(root)
+
+    with pytest.raises(FileNotFoundError):
+        TwoAFCDirectory(str(tmp_path / "nonexistent"))

@@ -45,3 +45,62 @@ def test_trainstate_resume(tmp_path):
     b = jax.tree.leaves(restored.params_g if hasattr(restored, "params_g") else restored["params_g"])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert ckpt.latest_step_dir(str(tmp_path)) == path
+
+
+def test_prune_step_dirs(tmp_path):
+    import os
+
+    from geomconsistentfr_tpu.utils.checkpoint import (
+        latest_step_dir,
+        prune_step_dirs,
+    )
+
+    root = str(tmp_path / "ckpts")
+    for step in (100, 200, 300, 400, 500):
+        os.makedirs(os.path.join(root, f"step_{step:08d}"))
+    (tmp_path / "ckpts" / "notes.txt").write_text("keep me")
+
+    removed = prune_step_dirs(root, keep=2)
+    assert [os.path.basename(p) for p in removed] == [
+        "step_00000100", "step_00000200", "step_00000300",
+    ]
+    left = sorted(os.listdir(root))
+    assert left == ["notes.txt", "step_00000400", "step_00000500"]
+    assert latest_step_dir(root).endswith("step_00000500")
+
+    # keep<=0 disables pruning
+    assert prune_step_dirs(root, keep=0) == []
+    assert sorted(os.listdir(root)) == left
+
+
+def test_trainer_save_applies_retention(tmp_path):
+    """Trainer.save prunes to TrainConfig.keep_checkpoints and resume uses
+    the surviving latest checkpoint."""
+    import dataclasses
+    import os
+
+    import jax
+
+    from geomconsistentfr_tpu import train as train_mod
+    from geomconsistentfr_tpu.config import preset_target_lighting_train
+
+    cfg = preset_target_lighting_train()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=32, img_width=32,
+            num_sample_points=8, t_stop=0.065, march_chunk=8,
+            use_pallas_shadows=False,
+        ),
+        train=dataclasses.replace(cfg.train, keep_checkpoints=2),
+    )
+    trainer = train_mod.Trainer(cfg, workdir=str(tmp_path))
+    state = train_mod.init_state(cfg, jax.random.PRNGKey(0), batch_size=1)
+    for step in (1, 2, 3):
+        state = state.replace(step=step)
+        trainer.save(state)
+    names = sorted(
+        n for n in os.listdir(tmp_path / cfg.train.checkpoint_dir)
+        if n.startswith("step_")
+    )
+    assert names == ["step_00000002", "step_00000003"]

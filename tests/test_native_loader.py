@@ -65,3 +65,79 @@ def test_native_matches_numpy_loader(tiny_cache):
     for key in batch:
         np.testing.assert_allclose(batch[key], want[key], atol=1e-6, err_msg=key)
     loader.close()
+
+
+def test_native_jpeg_decode_matches_imageio(tmp_path):
+    """Native libjpeg decode == imageio's decode of the same file (both sit
+    on libjpeg; any IDCT variation stays within a couple of LSBs)."""
+    import imageio.v2 as imageio
+    import numpy as np
+
+    from geomconsistentfr_tpu.data import native_loader
+
+    if not native_loader.has_native_jpeg():
+        import pytest
+
+        pytest.skip("shared library built without libjpeg")
+
+    rng = np.random.default_rng(0)
+    rgb = (rng.uniform(size=(256, 256, 3)) * 255).astype(np.uint8)
+    gray = (rng.uniform(size=(256, 256)) * 255).astype(np.uint8)
+    p_rgb = str(tmp_path / "img.jpg")
+    p_gray = str(tmp_path / "gray.jpg")
+    imageio.imwrite(p_rgb, rgb)
+    imageio.imwrite(p_gray, gray)
+
+    got = native_loader.decode_jpeg(p_rgb, 256, 256, 3)
+    want = np.asarray(imageio.imread(p_rgb))
+    assert got.shape == (256, 256, 3) and got.dtype == np.uint8
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
+
+    got_g = native_loader.decode_jpeg(p_gray, 256, 256, 1)
+    want_g = np.asarray(imageio.imread(p_gray))
+    assert got_g.shape == (256, 256)
+    assert np.abs(got_g.astype(int) - want_g.astype(int)).max() <= 2
+
+
+def test_native_jpeg_batch_and_errors(tmp_path):
+    import imageio.v2 as imageio
+    import numpy as np
+    import pytest
+
+    from geomconsistentfr_tpu.data import native_loader
+
+    if not native_loader.has_native_jpeg():
+        pytest.skip("shared library built without libjpeg")
+
+    rng = np.random.default_rng(1)
+    paths = []
+    imgs = []
+    for i in range(5):
+        img = (rng.uniform(size=(256, 256, 3)) * 255).astype(np.uint8)
+        p = str(tmp_path / f"b{i}.jpg")
+        imageio.imwrite(p, img)
+        paths.append(p)
+        imgs.append(np.asarray(imageio.imread(p)))
+
+    batch = native_loader.decode_jpegs(paths, 256, 256, 3, workers=3)
+    assert batch.shape == (5, 256, 256, 3)
+    for got, want in zip(batch, imgs):
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
+
+    # Dimension mismatch raises (no silent rescale).
+    small = (rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+    p_small = str(tmp_path / "small.jpg")
+    imageio.imwrite(p_small, small)
+    with pytest.raises(ValueError, match="code 4"):
+        native_loader.decode_jpeg(p_small, 256, 256, 3)
+
+    # Corrupt / missing files raise.
+    p_bad = str(tmp_path / "bad.jpg")
+    with open(p_bad, "wb") as f:
+        f.write(b"not a jpeg at all")
+    with pytest.raises(ValueError, match="code 3"):
+        native_loader.decode_jpeg(p_bad, 256, 256, 3)
+    with pytest.raises(ValueError, match="code 2"):
+        native_loader.decode_jpeg(str(tmp_path / "missing.jpg"), 256, 256, 3)
+    with pytest.raises(ValueError, match="failed"):
+        native_loader.decode_jpegs([paths[0], p_bad], 256, 256, 3)

@@ -203,3 +203,102 @@ def test_pallas_high_precision_split():
     diff = np.abs(got - want)[~big]
     assert diff.max() < 2e-3, float(diff.max())
     assert diff.mean() < 2e-4
+
+
+def test_pallas_hat_y_mask_gather_mode():
+    """'hat_y' (veto y-tap reuses the depth hat weights): matches the exact
+    path except at knife-edge half-integer sample rows (measure-zero on
+    generic data, so the quantile bound holds on random depth/masks)."""
+    cfg = dataclasses.replace(
+        BASE, shadow_matmul_precision="default", shadow_mask_gather="hat_y"
+    )
+    lights = np.asarray(
+        [[0.3, 0.4, 0.866], [-0.6, 0.1, 0.79]], np.float32
+    ) * BASE.light_distance
+    rng = np.random.default_rng(5)
+    b = lights.shape[0]
+    depth = jnp.asarray(rng.normal(size=(b, 64, 64)).astype(np.float32) * 30)
+    mask = jnp.asarray((rng.uniform(size=(b, 64, 64)) > 0.1).astype(np.float32))
+    want = np.asarray(
+        S.ray_march_min_distance_batch(depth, mask, jnp.asarray(lights), BASE)
+    )
+    got = np.asarray(
+        SP.ray_march_min_distance_pallas(
+            depth, mask, jnp.asarray(lights), cfg, interpret=True
+        )
+    )
+    big_w, big_g = want >= 1e5, got >= 1e5
+    assert (big_w == big_g).mean() > 0.999
+    diff = np.abs(got - want)[~(big_w | big_g)]
+    # Depth interp is bit-identical to the exact mode; the veto flips only
+    # at half-integer knife-edge sample rows (same ~0.3%-of-pixels class as
+    # 'hat'; systematic exact halves come from integer pixel-to-border
+    # spans stepping t by 0.005).
+    assert (diff > 1e-2).mean() < 5e-3, float((diff > 1e-2).mean())
+    assert np.median(diff) < 1e-5
+
+
+def test_pallas_bilinear_mask_gather_mode():
+    """'bilinear' (thresholded bilinear indicator veto): agrees with the
+    exact path away from the mask boundary; a fully-on-face mask must agree
+    everywhere (all taps 1 -> never vetoes, like the reference interior)."""
+    cfg = dataclasses.replace(
+        BASE, shadow_matmul_precision="default", shadow_mask_gather="bilinear"
+    )
+    lights = np.asarray([[0.3, 0.4, 0.866]], np.float32) * BASE.light_distance
+    rng = np.random.default_rng(6)
+    depth = jnp.asarray(rng.normal(size=(1, 64, 64)).astype(np.float32) * 30)
+
+    # All-ones mask: bilinear(1)=1 everywhere, so the veto NEVER flips and
+    # the only deviation is the fast mode's bf16 interp noise (which can
+    # swap the argmin winner on isolated pixels).
+    ones = jnp.ones((1, 64, 64), jnp.float32)
+    want = np.asarray(
+        S.ray_march_min_distance_batch(depth, ones, jnp.asarray(lights), BASE)
+    )
+    got = np.asarray(
+        SP.ray_march_min_distance_pallas(
+            depth, ones, jnp.asarray(lights), cfg, interpret=True
+        )
+    )
+    diff = np.abs(got - want)
+    assert (diff > 1e-2).mean() < 1e-3, float((diff > 1e-2).mean())
+    assert np.median(diff) < 1e-3
+
+    # Random mask: deviation confined to boundary-band veto flips — the
+    # overwhelming majority of pixels still match.
+    mask = jnp.asarray((rng.uniform(size=(1, 64, 64)) > 0.1).astype(np.float32))
+    want = np.asarray(
+        S.ray_march_min_distance_batch(depth, mask, jnp.asarray(lights), BASE)
+    )
+    got = np.asarray(
+        SP.ray_march_min_distance_pallas(
+            depth, mask, jnp.asarray(lights), cfg, interpret=True
+        )
+    )
+    big_w, big_g = want >= 1e5, got >= 1e5
+    assert (big_w == big_g).mean() > 0.98
+    diff = np.abs(got - want)[~(big_w | big_g)]
+    assert np.quantile(diff, 0.95) < 1e-2
+
+
+def test_mask_gather_auto_resolution():
+    """'auto' keeps the exact veto for strict/high precision and picks the
+    VPU-lighter 'hat_y' only for the fast bf16 mode."""
+    lights = np.asarray([[0.3, 0.4, 0.866]], np.float32) * BASE.light_distance
+    rng = np.random.default_rng(7)
+    depth = jnp.asarray(rng.normal(size=(1, 64, 64)).astype(np.float32) * 30)
+    mask = jnp.ones((1, 64, 64), jnp.float32)
+    # strict auto == explicit onehot, bitwise
+    strict_auto = np.asarray(SP.ray_march_min_distance_pallas(
+        depth, mask, jnp.asarray(lights), BASE, interpret=True))
+    strict_onehot = np.asarray(SP.ray_march_min_distance_pallas(
+        depth, mask, jnp.asarray(lights),
+        dataclasses.replace(BASE, shadow_mask_gather="onehot"), interpret=True))
+    np.testing.assert_array_equal(strict_auto, strict_onehot)
+
+    with pytest.raises(ValueError, match="shadow_mask_gather"):
+        SP.ray_march_min_distance_pallas(
+            depth, mask, jnp.asarray(lights),
+            dataclasses.replace(BASE, shadow_mask_gather="nearest"),
+            interpret=True)

@@ -48,7 +48,11 @@ def bench_march(specs):
         parts = spec.split(",")
         tile_s, slab_s, prec = parts[:3]
         unroll = int(parts[3]) if len(parts) > 3 else 1
-        interleave = len(parts) > 4 and parts[4] == "il"
+        interleave = "il" in parts[4:]
+        mask_mode = next(
+            (p for p in parts[4:] if p in ("onehot", "hat", "hat_y", "bilinear")),
+            "auto",
+        )
         cfg = dataclasses.replace(
             base,
             shadow_tile_rows=int(tile_s),
@@ -56,6 +60,7 @@ def bench_march(specs):
             shadow_matmul_precision=prec,
             shadow_unroll=unroll,
             shadow_slab_interleave=interleave,
+            shadow_mask_gather=mask_mode,
         )
 
         @jax.jit
@@ -80,6 +85,7 @@ def bench_march(specs):
                     "precision": prec,
                     "unroll": unroll,
                     "interleave": interleave,
+                    "mask": mask_mode,
                     "batch": batch,
                     "sec_per_batch": round(dt, 4),
                     "ms_per_image": round(1000 * dt / batch, 2),
