@@ -36,9 +36,18 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
         help="JSON file with (partial) PipelineConfig overrides on the preset",
     )
     p.add_argument("--out", default="outputs", help="output directory")
+    p.add_argument(
+        "--fast",
+        action="store_true",
+        help="production-serving precision: bfloat16 CNN activations + fast "
+        "shadow-kernel matmuls (the bench.py fast mode; ~2x throughput, "
+        "golden parity stays >50 dB). Default is strict float32.",
+    )
 
 
 def _relighter(args, default_preset: str):
+    import dataclasses
+
     from geomconsistentfr_tpu.config import PRESETS, load_config
     from geomconsistentfr_tpu.infer import load_relighter
 
@@ -47,6 +56,14 @@ def _relighter(args, default_preset: str):
         cfg = load_config(args.config, preset=preset)
     else:
         cfg = PRESETS[preset]()
+    if getattr(args, "fast", False):
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
+            render=dataclasses.replace(
+                cfg.render, shadow_matmul_precision="default"
+            ),
+        )
     return load_relighter(args.checkpoint, cfg=cfg)
 
 

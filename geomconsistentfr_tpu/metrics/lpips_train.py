@@ -82,13 +82,15 @@ class LPIPS2AFCTrainer:
         lr: float = 1e-4,
         beta1: float = 0.5,
         seed: int = 0,
+        net: str = "alex",
     ):
         if trunk_state is None and not allow_random_trunk:
             raise RuntimeError(
-                "LPIPS2AFCTrainer needs AlexNet trunk weights; pass "
+                f"LPIPS2AFCTrainer needs {net} trunk weights; pass "
                 "trunk_state= or allow_random_trunk=True (smoke only)."
             )
-        self.lpips = LPIPS(spatial=False)
+        self.net = net
+        self.lpips = LPIPS(spatial=False, net=net)
         self.ranknet = Dist2Logit()
         rng = jax.random.PRNGKey(seed)
         r1, r2 = jax.random.split(rng)
@@ -96,16 +98,30 @@ class LPIPS2AFCTrainer:
         variables = self.lpips.init(r1, dummy, dummy)
         params = dict(variables["params"])
         if trunk_state is not None:
-            from geomconsistentfr_tpu.models.lpips import convert_alexnet_features
+            from geomconsistentfr_tpu.models.lpips import convert_trunk
 
-            params["trunk"] = convert_alexnet_features(trunk_state)
+            params["trunk"] = convert_trunk(trunk_state, net)
         self.trunk = params.pop("trunk")  # frozen
         lin = {k: v for k, v in params.items() if k.startswith("lin")}
         rank = self.ranknet.init(r2, jnp.zeros((1,)), jnp.zeros((1,)))["params"]
         self.params = {"lin": lin, "rank": rank}
-        self.tx = optax.adam(lr, b1=beta1, b2=0.999)
+        self.lr = lr
+        self._current_lr = lr
+        self._beta1 = beta1
+        self.tx = self._make_tx(lr)
         self.opt_state = self.tx.init(self.params)
         self._step = jax.jit(self._make_step())
+
+    def _make_tx(self, lr: float):
+        return optax.adam(lr, b1=self._beta1, b2=0.999)
+
+    def decay_learning_rate(self, nepoch_decay: int) -> float:
+        """Linear LR decay, trainer.py:189-197: lr -= initial_lr/nepoch_decay
+        per call (optimizer moments are preserved)."""
+        self._current_lr = self._current_lr - self.lr / nepoch_decay
+        self.tx = self._make_tx(self._current_lr)
+        self._step = jax.jit(self._make_step())
+        return self._current_lr
 
     def _distances(self, lin_params, a: Array, b: Array) -> Array:
         variables = {"params": {**lin_params, "trunk": self.trunk}}
@@ -151,3 +167,19 @@ class LPIPS2AFCTrainer:
             "d0_mean": float(jnp.mean(d0)),
             "d1_mean": float(jnp.mean(d1)),
         }
+
+    def save_lin_weights(self, path: str) -> None:
+        """Export the trained lin heads in the reference's bundled layout
+        (`lin{i}.model.1.weight`, (1, C, 1, 1) OIHW — lpips/weights/v0.1/
+        *.pth); .pth via torch, .npz with the same keys otherwise. Files
+        round-trip through models.lpips.load_lin_weights / LPIPSMetric."""
+        state = {}
+        for name, leaf in self.params["lin"].items():
+            kern = np.asarray(leaf["kernel"], np.float32)  # (1, 1, C, 1) HWIO
+            state[f"{name}.model.1.weight"] = kern.transpose(3, 2, 0, 1)
+        if path.endswith(".npz"):
+            np.savez(path, **state)
+            return
+        import torch
+
+        torch.save({k: torch.from_numpy(v) for k, v in state.items()}, path)

@@ -200,17 +200,23 @@ class LPIPS(nn.Module):
 
 
 def load_lin_weights(path: str) -> Dict[str, dict]:
-    """Load bundled linear-head weights (lpips/weights/v0.1/{alex,vgg,squeeze}.pth).
+    """Load linear-head weights: the reference's bundled .pth files
+    (lpips/weights/v0.1/{alex,vgg,squeeze}.pth) or an .npz exported by
+    LPIPS2AFCTrainer.save_lin_weights (same `lin{i}.model.1.weight` keys).
 
-    Reads every `lin{i}.model.1.weight` key present (5 for alex/vgg, 7 for
-    squeeze)."""
-    import torch
+    Reads every head present (5 for alex/vgg, 7 for squeeze)."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            state = {k: np.asarray(z[k]) for k in z.files}
+    else:
+        import torch
 
-    state = torch.load(path, map_location="cpu")
+        raw = torch.load(path, map_location="cpu")
+        state = {k: v.numpy() for k, v in raw.items()}
     params = {}
     i = 0
     while f"lin{i}.model.1.weight" in state:
-        w = state[f"lin{i}.model.1.weight"].numpy()  # (1, C, 1, 1)
+        w = np.asarray(state[f"lin{i}.model.1.weight"])  # (1, C, 1, 1)
         params[f"lin{i}"] = {"kernel": w.transpose(2, 3, 1, 0).astype(np.float32)}
         i += 1
     if not params:

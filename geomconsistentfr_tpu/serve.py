@@ -277,12 +277,26 @@ def main(argv=None) -> int:
                         help="micro-batch size for coalesced /relight requests")
     parser.add_argument("--batch-window-ms", type=float, default=4.0,
                         help="how long to wait for more requests after the first")
+    parser.add_argument("--fast", action="store_true",
+                        help="bf16 CNN + fast shadow matmuls (~2x throughput, "
+                        "golden parity >50 dB); default strict f32")
     args = parser.parse_args(argv)
+
+    import dataclasses
 
     from geomconsistentfr_tpu.config import PRESETS
     from geomconsistentfr_tpu.infer import load_relighter
 
-    relighter = load_relighter(args.checkpoint, cfg=PRESETS[args.preset]())
+    cfg = PRESETS[args.preset]()
+    if args.fast:
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
+            render=dataclasses.replace(
+                cfg.render, shadow_matmul_precision="default"
+            ),
+        )
+    relighter = load_relighter(args.checkpoint, cfg=cfg)
     batcher = MicroBatcher(
         relighter, max_batch=args.max_batch, window_ms=args.batch_window_ms
     )

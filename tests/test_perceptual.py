@@ -259,3 +259,52 @@ def test_2afc_trainer_learns_and_clamps():
         np.asarray([0.2, 0.9]), np.asarray([0.5, 0.1]), np.asarray([0.0, 1.0])
     )
     assert float(a) == 1.0
+
+
+def test_2afc_trainer_net_selection_and_lin_roundtrip(tmp_path):
+    """Trainer supports vgg/squeeze trunks; trained lin heads export in the
+    reference .pth/.npz layout and round-trip into LPIPSMetric."""
+    import numpy as np
+
+    from geomconsistentfr_tpu.metrics.lpips_train import LPIPS2AFCTrainer
+    from geomconsistentfr_tpu.models.lpips import LPIPSMetric, load_lin_weights
+
+    trainer = LPIPS2AFCTrainer(allow_random_trunk=True, net="squeeze", seed=2)
+    assert len(trainer.params["lin"]) == 7  # squeeze has 7 taps
+
+    rng = np.random.default_rng(8)
+    ref = rng.uniform(0.2, 0.8, (2, 64, 64, 3)).astype(np.float32)
+    batch = {
+        "ref": ref,
+        "p0": np.clip(ref + 0.01 * rng.normal(size=ref.shape), 0, 1).astype(np.float32),
+        "p1": rng.uniform(size=ref.shape).astype(np.float32),
+        "judge": np.zeros((2,), np.float32),
+    }
+    trainer.train_step(batch)
+
+    for ext in ("pth", "npz"):
+        path = str(tmp_path / f"lins.{ext}")
+        trainer.save_lin_weights(path)
+        loaded = load_lin_weights(path)
+        assert set(loaded) == set(trainer.params["lin"])
+        for k in loaded:
+            np.testing.assert_allclose(
+                loaded[k]["kernel"], np.asarray(trainer.params["lin"][k]["kernel"])
+            )
+    # Round-trips into the metric (squeeze arch accepts the 7 heads).
+    metric = LPIPSMetric(
+        net="squeeze", lin_weights_path=str(tmp_path / "lins.npz"),
+        allow_random_trunk=True,
+    )
+    d = metric(ref[0], batch["p1"][0])
+    assert np.isfinite(d).all()
+
+
+def test_2afc_trainer_lr_decay():
+    """update_learning_rate parity (trainer.py:189-197): linear decay by
+    initial_lr/nepoch_decay per call."""
+    from geomconsistentfr_tpu.metrics.lpips_train import LPIPS2AFCTrainer
+
+    trainer = LPIPS2AFCTrainer(allow_random_trunk=True, lr=1e-3, seed=0)
+    assert trainer.decay_learning_rate(10) == pytest.approx(9e-4)
+    assert trainer.decay_learning_rate(10) == pytest.approx(8e-4)
