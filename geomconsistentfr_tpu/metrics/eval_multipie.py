@@ -154,8 +154,32 @@ def run_inference(
     n = len(inputs) if limit is None else min(limit, len(inputs))
 
     os.makedirs(output_dir, exist_ok=True)
+
+    def flush(out, start, stop, msks):
+        # Forces the (async-dispatched) device results and writes the six
+        # PNGs per image; runs while the NEXT batch computes on device.
+        out_np = {
+            field: np.asarray(getattr(out, field))
+            for field in (
+                "rendered", "albedo", "depth", "final_shading",
+                "shadow_mask_weights", "surface_normals",
+            )
+        }
+        for k, i in enumerate(range(start, stop)):
+            single = type(out)(
+                **{
+                    f: (out_np[f][k : k + 1] if f in out_np else getattr(out, f))
+                    for f in out._fields
+                }
+            )
+            stem = inputs[i].split(".")[0]
+            save_render_outputs(output_dir, stem, single, msks[k])
+
     # Device work is batched (one jit dispatch per batch_size images); the
     # reference loops the whole network one image at a time (:587-601).
+    # One batch stays in flight: JAX dispatch is async, so batch k's host
+    # decode/PNG-encode overlaps batch k+1's device compute.
+    pending = None
     for start in range(0, n, batch_size):
         stop = min(start + batch_size, n)
         imgs, msks, lights = [], [], []
@@ -177,20 +201,9 @@ def run_inference(
             np.stack(msks),
             target_light=np.asarray(lights, np.float32),
         )
-        out_np = {
-            field: np.asarray(getattr(out, field))
-            for field in (
-                "rendered", "albedo", "depth", "final_shading",
-                "shadow_mask_weights", "surface_normals",
-            )
-        }
-        for k, i in enumerate(range(start, stop)):
-            single = type(out)(
-                **{
-                    f: (out_np[f][k : k + 1] if f in out_np else getattr(out, f))
-                    for f in out._fields
-                }
-            )
-            stem = inputs[i].split(".")[0]
-            save_render_outputs(output_dir, stem, single, msks[k])
+        if pending is not None:
+            flush(*pending)
+        pending = (out, start, stop, msks)
+    if pending is not None:
+        flush(*pending)
     return n

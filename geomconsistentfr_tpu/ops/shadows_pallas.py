@@ -123,9 +123,13 @@ def _march_kernel(
     # concatenation (Mosaic rejects sublane slices of live vectors here).
     slab = cfg.shadow_slab_rows
     if slab == 0:
-        # auto: 8-row slabs compile within VMEM for every precision mode now
-        # that the mask reduce runs on the MXU (and measure fastest on v5e).
-        slab = 8
+        # auto: 8-row slabs measure fastest on v5e and compile within VMEM —
+        # except the strict TRAINING kernel (HIGHEST matmuls + the second
+        # argmin-t* output), which exceeds the VMEM budget under current
+        # toolchains; it gets 4-row slabs (measured 0.55 s/step at batch 3
+        # vs an OOM at 8).
+        strict_training = want_tstar and precision == jax.lax.Precision.HIGHEST
+        slab = 4 if strict_training else 8
     sub = min(slab, tr)
     assert tr % sub == 0, (tr, sub)
     n_sub = tr // sub
@@ -263,9 +267,10 @@ def _march_kernel(
         ytc = jnp.clip(yt, 0.0, h - 1.0)
 
         # Hat x-weights -> MXU: B[p, r] = x-interpolated depth at row r.
-        hat_x = hat(cls_wf, xtc)
-        wx = hat_x.reshape(sub * w, w)
-        hat_y = hat(cls_hf, ytc)
+        # (y-weights are built AFTER the gather matmuls, at their use sites:
+        # hoisting the 2 MB hat_y across a matmul extends its VMEM live
+        # range enough to tip the strict mode over the VMEM budget.)
+        wx = hat(cls_wf, xtc).reshape(sub * w, w)
 
         def indicator_rows(weights2d, exact: bool):
             """(P, W) weights @ indicator^T: indicator gathered per row."""
@@ -303,15 +308,15 @@ def _march_kernel(
             # including the systematic exact-half hits from integer
             # pixel-to-border spans, ~0.3% of pixels on random masks
             # (see RenderConfig.shadow_mask_gather).
-            onehot_yr = jnp.where(cls_hf == yr[..., None], 1.0, 0.0)
             bw = gather_dot(wx).reshape(sub, w, 2 * h)
             b = bw[:, :, :h]
-            d_interp = reduce_h(b, hat_y, exact_products=False)
+            d_interp = reduce_h(b, hat(cls_hf, ytc), exact_products=False)
+            onehot_yr = jnp.where(cls_hf == yr[..., None], 1.0, 0.0)
             vsel = reduce_h(bw[:, :, h:], onehot_yr, exact_products=True)
             on_face = jnp.where(vsel > 0.5, 1.0, 0.0)
         elif mask_mode == "onehot":
             b = gather_dot(wx).reshape(sub, w, h)
-            d_interp = reduce_h(b, hat_y, exact_products=False)
+            d_interp = reduce_h(b, hat(cls_hf, ytc), exact_products=False)
             # Exact veto: one-hot gathers on BOTH axes (bit-matches the
             # reference's rounded-coordinate indicator lookup).
             onehot_yr = jnp.where(cls_hf == yr[..., None], 1.0, 0.0)
@@ -325,8 +330,10 @@ def _march_kernel(
             # banker's-rounded row only within 1e-4 of half-integer sample
             # rows (same knife-edge class as 'hat').
             b = gather_dot(wx).reshape(sub, w, h)
+            mrows = onehot_x_rows()
+            hat_y = hat(cls_hf, ytc)
             d_interp = reduce_h(b, hat_y, exact_products=False)
-            vsel = reduce_h(onehot_x_rows(), hat_y, exact_products=True)
+            vsel = reduce_h(mrows, hat_y, exact_products=True)
             on_face = jnp.where(vsel > 0.5, 1.0, 0.0)
         elif mask_mode == "bilinear":
             # Fast-mode approximation: veto = thresholded BILINEAR interp
@@ -339,9 +346,10 @@ def _march_kernel(
             # regions still veto exactly (all four taps 0), on-face
             # interiors never veto (all four taps 1).
             b = gather_dot(wx).reshape(sub, w, h)
+            mrows = indicator_rows(wx, exact=False)
+            hat_y = hat(cls_hf, ytc)
             d_interp = reduce_h(b, hat_y, exact_products=False)
-            vsel = reduce_h(indicator_rows(wx, exact=False), hat_y,
-                            exact_products=True)
+            vsel = reduce_h(mrows, hat_y, exact_products=True)
             on_face = jnp.where(vsel > 0.5, 1.0, 0.0)
         else:
             raise ValueError(f"unknown mask_mode: {mask_mode}")
