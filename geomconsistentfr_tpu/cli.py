@@ -246,6 +246,8 @@ def cmd_train(args) -> int:
         state, metrics = trainer.run_epoch(state, epoch, start_batch=start_batch)
         start_batch = 0
         trainer.save(state)
+        if args.visualize_every and (epoch + 1) % args.visualize_every == 0:
+            metrics["visuals"] = trainer.visualize(state, epoch)
         print(json.dumps(metrics))
     return 0
 
@@ -387,6 +389,11 @@ def main(argv=None) -> int:
     p.add_argument("--profile", action="store_true", help="jax.profiler device traces")
     p.add_argument("--data", default="synthetic", help="cache dir or 'synthetic'")
     p.add_argument("--synthetic-samples", type=int, default=64)
+    p.add_argument(
+        "--visualize-every", type=int, default=0,
+        help="every N epochs, render a fixed probe through the current "
+        "generator and append to <out>/visuals/index.html (0 = off)",
+    )
     p.add_argument("--epochs", type=int, default=1000)
     p.add_argument("--out", default="runs/train")
     p.set_defaults(fn=cmd_train)

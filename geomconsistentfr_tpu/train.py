@@ -416,6 +416,78 @@ class Trainer:
         self._export_metrics(epoch, avg)
         return state, avg
 
+    def visualize(self, state: TrainState, epoch: int) -> str:
+        """Write per-epoch sample renders + an HTML progress gallery.
+
+        Counterpart of the vendored library's training visualizer
+        (PerceptualSimilarity/util/visualizer.py + html.py — the reference
+        training scripts themselves only print scalars). Renders a fixed
+        probe batch (first dataset batch, epoch-independent) through the
+        CURRENT generator in eval mode and appends a row per epoch to
+        <workdir>/visuals/index.html: input, albedo, depth, shadow weights,
+        rendered composite, plus the epoch's mean total loss.
+        """
+        import imageio.v2 as imageio
+
+        from geomconsistentfr_tpu.metrics.perceptual import write_html_gallery
+
+        if not hasattr(self, "_vis_probe"):
+            rng = np.random.default_rng([self.cfg.train.seed, 7123])
+            self._vis_probe = self.data.sample_batch(rng, 1)
+            self._vis_rows = []
+            model = RelightNet(cfg=self.cfg.model)
+            rcfg = self.cfg.render
+
+            @partial(jax.jit, static_argnums=(2,))
+            def vis_fn(variables, batch, use_skips):
+                net = model.apply(
+                    variables, batch["image"], train=False, use_skips=use_skips
+                )
+                return render(
+                    net.albedo, net.depth, net.lighting, batch["face_mask"],
+                    rcfg, target_light=batch["light_gt"],
+                )
+
+            self._vis_fn = vis_fn
+
+        probe = self._vis_probe
+        variables = {
+            "params": state.params_g,
+            "batch_stats": state.batch_stats_g,
+        }
+        use_skips = self.cfg.model.skip_gates(epoch)
+        out = self._vis_fn(
+            variables,
+            {k: jnp.asarray(probe[k]) for k in ("image", "face_mask", "light_gt")},
+            use_skips,
+        )
+
+        vis_dir = os.path.join(self.workdir, "visuals", f"epoch_{epoch:04d}")
+        os.makedirs(vis_dir, exist_ok=True)
+
+        def put(name, arr01):
+            arr = np.clip(np.asarray(arr01) * 255.0, 0, 255).astype(np.uint8)
+            path = os.path.join(vis_dir, f"{name}.png")
+            imageio.imwrite(path, arr)
+            return path
+
+        depth = np.asarray(out.depth[0])
+        depth01 = (depth - depth.min()) / max(depth.max() - depth.min(), 1e-6)
+        row = {
+            "epoch": epoch,
+            "input": put("input", probe["image"][0]),
+            "albedo": put("albedo", np.asarray(out.albedo[0])),
+            "depth": put("depth", depth01),
+            "shadow": put("shadow", np.asarray(out.shadow_mask_weights[0])),
+            "rendered": put("rendered", np.asarray(out.rendered[0])),
+        }
+        if self.metrics_log:
+            row["total_loss"] = round(self.metrics_log[-1].get("total", 0.0), 4)
+        self._vis_rows.append(row)
+        index = os.path.join(self.workdir, "visuals", "index.html")
+        write_html_gallery(index, self._vis_rows, title="training progress")
+        return index
+
     def _export_metrics(self, epoch: int, avg: Dict[str, float]) -> None:
         """CSV + reference-compatible .mat export (train_*.py:671-683)."""
         os.makedirs(os.path.join(self.workdir, "losses"), exist_ok=True)

@@ -308,3 +308,35 @@ def test_mid_epoch_resume_matches_uninterrupted(tmp_path):
         assert np.isclose(m1_a[k], m1_c[k], atol=1e-6), (k, m1_a[k], m1_c[k])
     for x, y in zip(jax.tree.leaves(state_a), jax.tree.leaves(state_c)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-7)
+
+
+def test_trainer_visualize_writes_gallery(tmp_path):
+    """Per-epoch HTML progress gallery (util/visualizer.py counterpart)."""
+    import dataclasses
+    import os
+
+    import jax
+
+    from geomconsistentfr_tpu import train as train_mod
+    from geomconsistentfr_tpu.config import preset_target_lighting_train
+    from geomconsistentfr_tpu.data import SyntheticFaceData
+
+    cfg = preset_target_lighting_train()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=32, img_width=32,
+            num_sample_points=8, t_stop=0.065, march_chunk=8,
+            use_pallas_shadows=False,
+        ),
+    )
+    data = SyntheticFaceData(num_samples=4, size=32)
+    trainer = train_mod.Trainer(cfg, data=data, workdir=str(tmp_path))
+    state = train_mod.init_state(cfg, jax.random.PRNGKey(0), batch_size=1)
+    index = trainer.visualize(state, epoch=0)
+    index2 = trainer.visualize(state, epoch=1)
+    assert index == index2 and os.path.exists(index)
+    html = open(index).read()
+    assert "epoch_0000" in html and "epoch_0001" in html
+    for name in ("input", "albedo", "depth", "shadow", "rendered"):
+        assert os.path.exists(tmp_path / "visuals" / "epoch_0001" / f"{name}.png")
