@@ -315,6 +315,46 @@ def cmd_build_cache(args) -> int:
     return 0
 
 
+def cmd_visualize_lighting(args) -> int:
+    """Render shaded-sphere lighting visualizations (one PNG per direction).
+
+    Counterpart of the reference's bundled lighting_visualizations/ assets
+    (21 spheres, one per Multi-PIE flash / azimuth-elevation preset)."""
+    import imageio.v2 as imageio
+    import numpy as np
+
+    from geomconsistentfr_tpu.lighting_presets import (
+        LIGHT_PRESETS,
+        azimuth_elevation,
+        lighting_sphere,
+    )
+
+    if args.light:
+        vals = [float(v) for v in args.light.split(",")]
+        assert len(vals) == 3, "--light expects lx,ly,lz"
+        targets = {"custom": tuple(vals)}
+    elif args.azimuth is not None or args.elevation is not None:
+        az, el = args.azimuth or 0.0, args.elevation or 0.0
+        targets = {f"A{az:g}E{el:g}": azimuth_elevation(az, el)}
+    elif args.preset:
+        targets = {args.preset: LIGHT_PRESETS[args.preset]}
+    else:
+        targets = dict(LIGHT_PRESETS)
+
+    os.makedirs(args.out, exist_ok=True)
+    written = []
+    for name, direction in targets.items():
+        sphere = lighting_sphere(
+            direction, size=args.size, ambient=args.ambient,
+            directional=args.directional, clamp=args.clamp,
+        )
+        path = os.path.join(args.out, f"{name}.png")
+        imageio.imwrite(path, (sphere * 255.0 + 0.5).astype(np.uint8))
+        written.append(path)
+    print(json.dumps({"out": args.out, "count": len(written)}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
 
@@ -420,6 +460,24 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--limit", type=int, default=None)
     p.set_defaults(fn=cmd_build_cache)
+
+    p = sub.add_parser(
+        "visualize-lighting", help="shaded-sphere lighting visualizations"
+    )
+    p.add_argument("--out", required=True)
+    p.add_argument("--preset", default=None, help="one preset (default: all)")
+    p.add_argument("--light", default=None, help="lx,ly,lz explicit direction")
+    p.add_argument("--azimuth", type=float, default=None)
+    p.add_argument("--elevation", type=float, default=None)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--ambient", type=float, default=0.458)
+    p.add_argument("--directional", type=float, default=0.572)
+    p.add_argument(
+        "--clamp", action="store_true",
+        help="clamp n.l at 0 (the face renderer's shading; default matches "
+        "the reference's bundled sphere assets, which do not clamp)",
+    )
+    p.set_defaults(fn=cmd_visualize_lighting)
 
     p = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
     p.set_defaults(fn=cmd_bench)

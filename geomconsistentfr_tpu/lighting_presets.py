@@ -42,6 +42,53 @@ GOLDEN_FFHQ_PRESETS: dict[str, str] = {
 }
 
 
+def lighting_sphere(
+    direction,
+    size: int = 256,
+    ambient: float = 0.458,
+    directional: float = 0.572,
+    clamp: bool = False,
+    light_distance: float = 4013.0,
+) -> np.ndarray:
+    """Render a Lambertian sphere lit from ``direction`` (an (lx, ly, lz)).
+
+    Counterpart of the reference's bundled ``lighting_visualizations/*.png``
+    (one shaded sphere per Multi-PIE flash / azimuth-elevation preset; the
+    generator script itself is not in the reference repo). The bundled assets
+    fit ``ambient + directional * (n . l)`` WITHOUT the clamp (least-squares
+    over Multi-PIE_lighting_14.png: a=0.458, d=0.572 on both hemispheres,
+    rms 0.019) — the defaults reproduce that. ``clamp=True, ambient=0.5,
+    directional=0.5`` instead gives the framework's face-shading model
+    (point light at ``light_distance * direction``,
+    ``ambient + directional * max(0, n . l)``,
+    test_relight_single_image.py:334-346).
+
+    Returns (size, size) float32 in [0, 1]; background is 0.
+    """
+    d = np.asarray(direction, np.float64)
+    d = d / max(np.linalg.norm(d), 1e-12)
+    radius = size / 2.0 - 1.0
+    c = (size - 1) / 2.0
+    ys, xs = np.mgrid[0:size, 0:size]
+    nx = (xs - c) / radius
+    ny = -(ys - c) / radius  # +y is up; image rows grow downward
+    rr2 = nx * nx + ny * ny
+    nz = np.sqrt(np.maximum(1.0 - rr2, 0.0))
+    # Point light at light_distance * d; per-pixel incident direction from the
+    # sphere surface point (radius-scaled normal) toward it.
+    p = np.stack([nx, ny, nz], -1) * radius
+    incident = light_distance * d - p
+    incident /= np.maximum(np.linalg.norm(incident, axis=-1, keepdims=True), 1e-12)
+    ndotl = (
+        nx * incident[..., 0] + ny * incident[..., 1] + nz * incident[..., 2]
+    )
+    if clamp:
+        ndotl = np.maximum(ndotl, 0.0)
+    shading = ambient + directional * ndotl
+    coverage = np.clip(radius + 0.5 - np.sqrt(rr2) * radius, 0.0, 1.0)
+    return (np.clip(shading, 0.0, 1.0) * coverage).astype(np.float32)
+
+
 def azimuth_elevation(azimuth_deg: float, elevation_deg: float) -> tuple[float, float, float]:
     """Unit light direction from azimuth (around +y, 0 = frontal) and elevation."""
     az = np.deg2rad(azimuth_deg)
