@@ -32,6 +32,53 @@ Array = jax.Array
 
 FULL_SKIPS = (True, True, True, True)
 
+# Channel layout of the packed uint8 visualization tensor (B, H, W, 12):
+# the six per-image outputs of the reference eval dump in its order
+# (test_raytracing_...py:603-608), visualization transforms pre-applied.
+VISUAL_PACK_LAYOUT = (
+    ("rendered_image", 3),
+    ("shadow_mask", 1),
+    ("albedo", 3),
+    ("depth", 1),
+    ("shading", 1),
+    ("surface_normals", 3),
+)
+
+
+def pack_visuals(outputs: RenderOutputs, masks: Array) -> Array:
+    """Fuse the six eval visualizations into one uint8 (B, H, W, 12) tensor.
+
+    Device-side counterpart of utils/io.save_render_outputs's transforms
+    (masked rendered/albedo/shading/shadow, per-image min-max of -depth,
+    (n+1)/2 normals — reference test_raytracing_...py:590-608). Quantizes
+    with floor(clip(x*255)) to match numpy's float->uint8 truncation, so the
+    PNGs written from this pack are byte-identical to the float path's.
+
+    Exists because the serving/eval hosts fetch results over a thin link
+    (the axon tunnel moves ~8 MB/s): fetching f32 render outputs costs
+    ~3.1 MB/image while this pack is 0.77 MB/image — on the 862-image
+    protocol that is the difference between fetch-bound and host-bound.
+    """
+    m1 = masks[..., None]
+
+    d = -outputs.depth
+    dmin = jnp.min(d, axis=(1, 2), keepdims=True)
+    dmax = jnp.max(d, axis=(1, 2), keepdims=True)
+    depth_vis = (d - dmin) / jnp.maximum(dmax - dmin, 1e-12)
+
+    packed = jnp.concatenate(
+        [
+            outputs.rendered * m1,
+            (outputs.shadow_mask_weights * masks)[..., None],
+            outputs.albedo * m1,
+            (depth_vis * masks)[..., None],
+            (outputs.final_shading * masks)[..., None],
+            (outputs.surface_normals + 1.0) / 2.0 * m1,
+        ],
+        axis=-1,
+    )
+    return jnp.floor(jnp.clip(packed * 255.0, 0.0, 255.0)).astype(jnp.uint8)
+
 
 class Relighter:
     """High-level inference wrapper around RelightNet + the renderer."""
@@ -93,9 +140,15 @@ class Relighter:
                 target_ambient=ambients,
             )
 
+        @jax.jit
+        def _forward_visuals(variables, images, masks, target_light, target_ambient):
+            out = _forward(variables, images, masks, target_light, target_ambient)
+            return pack_visuals(out, masks)
+
         self._forward = _forward
         self._net_only = _net_only
         self._sweep = _sweep
+        self._forward_visuals = _forward_visuals
 
     # ------------------------------------------------------------------
 
@@ -115,6 +168,34 @@ class Relighter:
         if target_ambient is None:
             target_ambient = jnp.zeros((b,), jnp.float32)
         return self._forward(
+            self.variables,
+            images,
+            masks,
+            jnp.asarray(target_light, jnp.float32),
+            jnp.asarray(target_ambient, jnp.float32),
+        )
+
+    def forward_visuals(
+        self,
+        images,
+        masks,
+        target_light=None,
+        target_ambient=None,
+    ) -> Array:
+        """Relight a batch and return the packed uint8 visualization tensor.
+
+        Same inputs as `forward`; returns a device (B, H, W, 12) uint8 array
+        (layout VISUAL_PACK_LAYOUT) — 4x cheaper to fetch than the f32
+        RenderOutputs, for dump-to-PNG pipelines like the 862-image protocol.
+        """
+        images = jnp.asarray(images, jnp.float32)
+        masks = jnp.asarray(masks, jnp.float32)
+        b = images.shape[0]
+        if target_light is None:
+            target_light = jnp.zeros((b, 3), jnp.float32)
+        if target_ambient is None:
+            target_ambient = jnp.zeros((b,), jnp.float32)
+        return self._forward_visuals(
             self.variables,
             images,
             masks,

@@ -9,6 +9,9 @@ Relighter over HTTP for deployment behind a load balancer:
        "ambient": 0.5}
     -> {"rendered": <base64 PNG>, "shadow_mask": <base64 PNG>}
   POST /estimate   {"image": <base64 PNG>} -> {"direction": [...], "ambient": a}
+  POST /transfer   2-pass lighting transfer (test_..._lighting_transfer.py):
+      {"image": <base64 PNG>, "reference": <base64 PNG>, "mask": <base64 PNG>}
+    -> {"rendered": ..., "shadow_mask": ..., "direction": [...], "ambient": a}
   GET  /healthz    -> ok
 
 Run: python -m geomconsistentfr_tpu.serve --checkpoint model.pth --port 8400
@@ -55,13 +58,14 @@ def _decode_image(b64: str, size: int = 256) -> np.ndarray:
     return img.astype(np.float32)
 
 
-def _encode_image(img01: np.ndarray) -> str:
+def _encode_image(img: np.ndarray) -> str:
+    """Encode a uint8 (or float-in-[0,1]) image as base64 PNG."""
     import imageio.v2 as imageio
 
+    if img.dtype != np.uint8:
+        img = np.clip(np.asarray(img) * 255, 0, 255).astype(np.uint8)
     buf = io.BytesIO()
-    imageio.imwrite(
-        buf, np.clip(np.asarray(img01) * 255, 0, 255).astype(np.uint8), format="png"
-    )
+    imageio.imwrite(buf, img, format="png")
     return base64.b64encode(buf.getvalue()).decode()
 
 
@@ -159,16 +163,19 @@ class MicroBatcher:
                 rows += [rows[-1]] * (padded - n)
                 return np.stack(rows).astype(np.float32)
 
-            out = self.relighter.forward(
-                stack(0),
-                stack(1),
-                target_light=stack(2),
-                target_ambient=stack(3),
+            # Fetch the device-quantized visual pack (uint8, pre-masked):
+            # ~4x less host-link traffic than f32 rendered+weights, and the
+            # response encodes these bytes into PNG verbatim anyway.
+            pack = np.asarray(
+                self.relighter.forward_visuals(
+                    stack(0),
+                    stack(1),
+                    target_light=stack(2),
+                    target_ambient=stack(3),
+                )
             )
-            rendered = np.asarray(out.rendered)
-            weights = np.asarray(out.shadow_mask_weights)
             for k, (_, fut) in enumerate(items):
-                fut.set_result((rendered[k], weights[k]))
+                fut.set_result((pack[k, ..., 0:3], pack[k, ..., 3]))
         except BaseException as e:  # noqa: BLE001 - propagate to each caller
             err = e if isinstance(e, Exception) else WorkerDied(repr(e))
             for _, fut in items:
@@ -223,19 +230,57 @@ def make_handler(relighter, batcher: MicroBatcher | None = None):
                             image, mask, light, ambient
                         )
                     else:
-                        out = relighter.forward(
-                            image[None], mask[None],
-                            target_light=light[None],
-                            target_ambient=ambient[None],
-                        )
-                        rendered = np.asarray(out.rendered[0])
-                        weights = np.asarray(out.shadow_mask_weights[0])
-                    mask3 = np.repeat(mask[..., None], 3, -1)
+                        pack = np.asarray(
+                            relighter.forward_visuals(
+                                image[None], mask[None],
+                                target_light=light[None],
+                                target_ambient=ambient[None],
+                            )
+                        )[0]
+                        rendered, weights = pack[..., 0:3], pack[..., 3]
+                    # Already uint8 and pre-masked on device.
                     self._json(
                         200,
                         {
-                            "rendered": _encode_image(rendered * mask3),
-                            "shadow_mask": _encode_image(weights * mask),
+                            "rendered": _encode_image(rendered),
+                            "shadow_mask": _encode_image(weights),
+                        },
+                    )
+                elif self.path == "/transfer":
+                    # 2-pass transfer: estimate from the reference image, then
+                    # relight the input with it — both passes through the same
+                    # serialized worker (two queue entries; a concurrent batch
+                    # may interleave between them, which is fine: estimation
+                    # is read-only).
+                    image = _decode_image(req["image"])
+                    reference = _decode_image(req["reference"])
+                    mask = _decode_image(req["mask"])[..., 0]
+                    if batcher is not None:
+                        unit, amb = batcher.submit_estimate(reference)
+                        rendered, weights = batcher.submit(
+                            image, mask,
+                            np.asarray(unit, np.float32), np.float32(amb),
+                        )
+                    else:
+                        unit_b, amb_b = relighter.estimate_lighting(
+                            reference[None]
+                        )
+                        unit, amb = unit_b[0], float(amb_b[0])
+                        pack = np.asarray(
+                            relighter.forward_visuals(
+                                image[None], mask[None],
+                                target_light=np.asarray(unit_b, np.float32),
+                                target_ambient=np.asarray(amb_b, np.float32),
+                            )
+                        )[0]
+                        rendered, weights = pack[..., 0:3], pack[..., 3]
+                    self._json(
+                        200,
+                        {
+                            "rendered": _encode_image(rendered),
+                            "shadow_mask": _encode_image(weights),
+                            "direction": [float(v) for v in unit],
+                            "ambient": float(amb),
                         },
                     )
                 elif self.path == "/estimate":

@@ -3,6 +3,11 @@
 The reference writes six PNGs per relit image (test_raytracing_...py:603-608,
 test_..._lighting_transfer.py:574-579) with specific visualisation transforms;
 these helpers reproduce them with RGB (imageio) conventions.
+
+Encode/decode goes through OpenCV when available: PNG is lossless either way,
+and cv2's default zlib setting encodes a 256x256 RGB frame ~6x faster than
+imageio/Pillow — the six-PNG-per-image eval dump (5,172 files for the
+862-image protocol) is host-encode-bound on this machine, not device-bound.
 """
 
 from __future__ import annotations
@@ -11,12 +16,29 @@ import os
 
 import numpy as np
 
+try:  # pragma: no cover - exercised implicitly everywhere
+    import cv2 as _cv2
+except ImportError:  # pragma: no cover
+    _cv2 = None
+
+
+def _imread(path: str) -> np.ndarray:
+    """Read an image file as RGB (or grayscale) uint8-ish ndarray."""
+    if _cv2 is not None:
+        arr = _cv2.imread(path, _cv2.IMREAD_UNCHANGED)
+        if arr is not None:
+            if arr.ndim == 3 and arr.shape[-1] >= 3:
+                # BGR(A) -> RGB(A)
+                arr = arr[..., [2, 1, 0] + list(range(3, arr.shape[-1]))]
+            return arr
+    import imageio.v2 as imageio
+
+    return np.asarray(imageio.imread(path))
+
 
 def read_image(path: str, size: int = 256) -> np.ndarray:
     """Read an image as float32 RGB in [0, 1], resized to (size, size)."""
-    import imageio.v2 as imageio
-
-    img = np.asarray(imageio.imread(path), dtype=np.float64) / 255.0
+    img = np.asarray(_imread(path), dtype=np.float64) / 255.0
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
     if img.shape[-1] == 4:
@@ -30,9 +52,7 @@ def read_image(path: str, size: int = 256) -> np.ndarray:
 
 def read_mask(path: str, size: int = 256) -> np.ndarray:
     """Read a face mask as float32 in [0, 1] (values /255, reference :586)."""
-    import imageio.v2 as imageio
-
-    m = np.asarray(imageio.imread(path), dtype=np.float32)
+    m = np.asarray(_imread(path), dtype=np.float32)
     if m.ndim == 3:
         m = m[..., 0]
     if m.shape[0] != size or m.shape[1] != size:
@@ -44,10 +64,16 @@ def read_mask(path: str, size: int = 256) -> np.ndarray:
 
 def write_image(path: str, img01: np.ndarray) -> None:
     """Write a float image in [0, 1] (H, W[, C]) as an 8-bit PNG."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    arr = np.clip(np.asarray(img01, np.float32) * 255.0, 0.0, 255.0).astype(
+        np.uint8
+    )
+    if _cv2 is not None:
+        bgr = arr[..., ::-1] if arr.ndim == 3 and arr.shape[-1] == 3 else arr
+        if _cv2.imwrite(path, bgr):
+            return
     import imageio.v2 as imageio
 
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    arr = np.clip(np.asarray(img01) * 255.0, 0.0, 255.0).astype(np.uint8)
     imageio.imwrite(path, arr)
 
 
@@ -75,6 +101,39 @@ def normals_visualization(normals: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return (np.asarray(normals) + 1.0) / 2.0 * mask[..., None]
 
 
+def write_image_u8(path: str, arr: np.ndarray) -> None:
+    """Write an already-quantized uint8 image (H, W[, C]) as a PNG."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if _cv2 is not None:
+        bgr = arr[..., ::-1] if arr.ndim == 3 and arr.shape[-1] == 3 else arr
+        if _cv2.imwrite(path, np.ascontiguousarray(bgr)):
+            return
+    import imageio.v2 as imageio
+
+    imageio.imwrite(path, arr)
+
+
+def save_visual_pack(out_dir: str, stem: str, pack_u8: np.ndarray) -> dict:
+    """Write the six per-image PNGs from a packed uint8 (H, W, 12) tensor.
+
+    Counterpart of `save_render_outputs` for the device-quantized path
+    (infer.pack_visuals); the channel layout is infer.VISUAL_PACK_LAYOUT.
+    """
+    from geomconsistentfr_tpu.infer import VISUAL_PACK_LAYOUT
+
+    paths = {}
+    c = 0
+    for kind, width in VISUAL_PACK_LAYOUT:
+        img = pack_u8[..., c : c + width]
+        if width == 1:
+            img = img[..., 0]
+        path = os.path.join(out_dir, f"{stem}_{kind}.png")
+        write_image_u8(path, img)
+        paths[kind] = path
+        c += width
+    return paths
+
+
 def save_render_outputs(out_dir: str, stem: str, outputs, mask: np.ndarray) -> dict:
     """Write the reference's six per-image outputs; returns {kind: path}.
 
@@ -91,7 +150,8 @@ def save_render_outputs(out_dir: str, stem: str, outputs, mask: np.ndarray) -> d
     weights = first(outputs.shadow_mask_weights)
     normals = first(outputs.surface_normals)
 
-    mask3 = np.repeat(mask[..., None], 3, axis=-1)
+    mask = np.asarray(mask, np.float32)
+    mask3 = mask[..., None]  # broadcast against (H, W, 3)
     paths = {}
 
     def emit(kind, img):

@@ -97,3 +97,48 @@ def test_forward_outputs_shapes(small_relighter):
     assert out.shadow_mask_weights.shape == (2, 64, 64)
     assert out.surface_normals.shape == (2, 64, 64, 3)
     assert bool(jnp.isfinite(out.rendered).all())
+
+
+def test_visual_pack_matches_float_path(small_relighter, tmp_path):
+    """Device-quantized visual pack writes the same PNGs as the host float
+    path (save_render_outputs); both hold the six reference outputs."""
+    import imageio.v2 as imageio
+
+    from geomconsistentfr_tpu.infer import VISUAL_PACK_LAYOUT
+    from geomconsistentfr_tpu.utils.io import save_render_outputs, save_visual_pack
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    mask = (rng.uniform(size=(2, 64, 64)) > 0.3).astype(np.float32)
+    light = np.array([[0.69, 0.4, 0.6], [-0.76, 0.0, 0.65]], np.float32)
+    amb = np.array([0.5, 0.4], np.float32)
+
+    out = small_relighter.forward(img, mask, target_light=light, target_ambient=amb)
+    pack = np.asarray(
+        small_relighter.forward_visuals(
+            img, mask, target_light=light, target_ambient=amb
+        )
+    )
+    assert pack.shape == (2, 64, 64, sum(w for _, w in VISUAL_PACK_LAYOUT))
+    assert pack.dtype == np.uint8
+
+    a_dir, b_dir = tmp_path / "float", tmp_path / "pack"
+    a_dir.mkdir(), b_dir.mkdir()
+    for k in range(2):
+        single = type(out)(
+            **{
+                f: np.asarray(getattr(out, f))[k : k + 1]
+                for f in out._fields
+            }
+        )
+        save_render_outputs(str(a_dir), f"im{k}", single, mask[k])
+        save_visual_pack(str(b_dir), f"im{k}", pack[k])
+    for k in range(2):
+        for kind, _ in VISUAL_PACK_LAYOUT:
+            a = imageio.imread(a_dir / f"im{k}_{kind}.png").astype(np.int16)
+            b = imageio.imread(b_dir / f"im{k}_{kind}.png").astype(np.int16)
+            diff = np.abs(a - b)
+            # f32-on-device vs f64-on-host can flip a unit at quantization
+            # boundaries; anything larger is a real transform mismatch.
+            assert diff.max() <= 1, (kind, k, diff.max())
+            assert (diff > 0).mean() < 0.01, (kind, k, (diff > 0).mean())

@@ -85,6 +85,29 @@ def test_relight_endpoint():
         assert len(est["direction"]) == 3
         np.testing.assert_allclose(np.linalg.norm(est["direction"]), 1.0, rtol=1e-4)
 
+        # 2-pass transfer: direction/ambient must equal a direct /estimate
+        # of the reference image (the handler estimates, then relights).
+        ref_img = rng.uniform(size=(64, 64, 3))
+        conn.request(
+            "POST",
+            "/transfer",
+            json.dumps(
+                {
+                    "image": _png_b64(img),
+                    "reference": _png_b64(ref_img),
+                    "mask": _png_b64(mask),
+                }
+            ),
+        )
+        resp = conn.getresponse()
+        tr = json.loads(resp.read())
+        assert resp.status == 200, tr
+        assert "rendered" in tr and "shadow_mask" in tr
+        conn.request("POST", "/estimate", json.dumps({"image": _png_b64(ref_img)}))
+        est_ref = json.loads(conn.getresponse().read())
+        np.testing.assert_allclose(tr["direction"], est_ref["direction"], atol=1e-5)
+        np.testing.assert_allclose(tr["ambient"], est_ref["ambient"], atol=1e-5)
+
         conn.request("GET", "/healthz")
         assert conn.getresponse().status == 200
 
@@ -121,13 +144,13 @@ def test_threaded_server_micro_batching():
     relighter = Relighter(cfg, variables)
 
     calls = []
-    orig_forward = relighter.forward
+    orig_forward = relighter.forward_visuals
 
     def counting_forward(images, masks, **kw):
         calls.append(images.shape[0])
         return orig_forward(images, masks, **kw)
 
-    relighter.forward = counting_forward
+    relighter.forward_visuals = counting_forward
     batcher = MicroBatcher(relighter, max_batch=4, window_ms=200.0)
 
     import geomconsistentfr_tpu.serve as serve_mod
@@ -217,7 +240,7 @@ def test_concurrent_mixed_relight_and_estimate():
                     in_flight["n"] -= 1
         return wrapped
 
-    relighter.forward = tracking(relighter.forward)
+    relighter.forward_visuals = tracking(relighter.forward_visuals)
     relighter.estimate_lighting = tracking(relighter.estimate_lighting)
     batcher = MicroBatcher(relighter, max_batch=4, window_ms=50.0)
 
@@ -256,6 +279,10 @@ def test_concurrent_mixed_relight_and_estimate():
             # Malformed light: must 400 without poisoning any batch.
             ("bad", "/relight", {"image": _png_b64(img), "mask": _png_b64(mask),
                                  "light": [1.0, 0.0]}),
+            # 2-pass transfer rides the same worker (two queue entries).
+            ("t1", "/transfer", {"image": _png_b64(img),
+                                 "reference": _png_b64(img),
+                                 "mask": _png_b64(mask)}),
         ]
         threads = [
             threading.Thread(target=post, args=j) for j in jobs
@@ -269,6 +296,11 @@ def test_concurrent_mixed_relight_and_estimate():
         assert results["e1"][0] == 200 and results["e2"][0] == 200, results
         assert results["bad"][0] == 400, results["bad"]
         assert "light" in results["bad"][1]["error"]
+        assert results["t1"][0] == 200, results["t1"]
+        np.testing.assert_allclose(
+            results["t1"][1]["direction"], results["e1"][1]["direction"],
+            atol=1e-5,
+        )
         np.testing.assert_allclose(
             np.linalg.norm(results["e1"][1]["direction"]), 1.0, rtol=1e-4
         )
@@ -283,7 +315,7 @@ def test_worker_death_returns_503():
     from geomconsistentfr_tpu.serve import MicroBatcher, WorkerDied
 
     class Boom:
-        def forward(self, *a, **k):
+        def forward_visuals(self, *a, **k):
             raise SystemExit("device lost")  # BaseException
 
     batcher = MicroBatcher(Boom(), max_batch=2, window_ms=1.0,
