@@ -85,10 +85,9 @@ def cmd_relight(args) -> int:
     import numpy as np
 
     from geomconsistentfr_tpu.utils.io import (
-        composite_into_original,
         read_image,
         read_mask,
-        save_render_outputs,
+        save_visual_pack,
         write_image,
     )
 
@@ -96,10 +95,17 @@ def cmd_relight(args) -> int:
     img = read_image(args.image)
     mask = read_mask(args.mask)
     light, ambient = _parse_light(args)
-    out = rl.forward(img[None], mask[None], target_light=light, target_ambient=ambient)
+    pack = np.asarray(
+        rl.forward_visuals(
+            img[None], mask[None], target_light=light, target_ambient=ambient
+        )
+    )[0]
     stem = os.path.splitext(os.path.basename(args.image))[0]
-    paths = save_render_outputs(args.out, stem, out, mask)
-    composited = composite_into_original(img, np.asarray(out.rendered[0]), mask)
+    paths = save_visual_pack(args.out, stem, pack)
+    # pack[..., 0:3] is rendered*mask quantized on device; composite pastes it
+    # into the original where the mask is nonzero (reference :618-619).
+    mask3 = np.repeat(mask[..., None], 3, axis=-1)
+    composited = np.where(mask3 > 0, pack[..., 0:3] / 255.0, img)
     if args.fix_border:
         from geomconsistentfr_tpu.postprocess import fix_border_artifacts
 
@@ -113,7 +119,7 @@ def cmd_sweep(args) -> int:
     import numpy as np
 
     from geomconsistentfr_tpu.lighting_presets import DEFAULT_AMBIENT, LIGHT_PRESETS
-    from geomconsistentfr_tpu.utils.io import read_image, read_mask, write_image
+    from geomconsistentfr_tpu.utils.io import read_image, read_mask, write_image_u8
 
     rl = _relighter(args, "single_image")
     img = read_image(args.image)
@@ -121,23 +127,20 @@ def cmd_sweep(args) -> int:
     names = list(LIGHT_PRESETS)
     lights = np.asarray([LIGHT_PRESETS[n] for n in names], np.float32)
     ambients = np.full((len(names),), DEFAULT_AMBIENT, np.float32)
-    out = rl.relight_sweep(img, mask, lights, ambients)
+    # Masked uint8 renders quantized on device: one small fetch for all L.
+    tiles = np.asarray(rl.relight_sweep_rendered_u8(img, mask, lights, ambients))
     stem = os.path.splitext(os.path.basename(args.image))[0]
-    mask3 = np.repeat(mask[..., None], 3, axis=-1)
-    tiles = []
     for i, name in enumerate(names):
-        tile = np.asarray(out.rendered[i]) * mask3
-        write_image(os.path.join(args.out, f"{stem}_{name}.png"), tile)
-        tiles.append(tile)
+        write_image_u8(os.path.join(args.out, f"{stem}_{name}.png"), tiles[i])
     # Contact-sheet montage of the whole sweep.
     cols = 4
     rows = -(-len(tiles) // cols)
-    h, w, _ = tiles[0].shape
-    sheet = np.zeros((rows * h, cols * w, 3), np.float32)
-    for i, tile in enumerate(tiles):
+    h, w = tiles.shape[1:3]
+    sheet = np.zeros((rows * h, cols * w, 3), np.uint8)
+    for i in range(len(names)):
         r, c = divmod(i, cols)
-        sheet[r * h : (r + 1) * h, c * w : (c + 1) * w] = tile
-    write_image(os.path.join(args.out, f"{stem}_sweep_montage.png"), sheet)
+        sheet[r * h : (r + 1) * h, c * w : (c + 1) * w] = tiles[i]
+    write_image_u8(os.path.join(args.out, f"{stem}_sweep_montage.png"), sheet)
     print(json.dumps({"num_lights": len(names), "out": args.out,
                       "montage": f"{stem}_sweep_montage.png"}))
     return 0

@@ -145,10 +145,19 @@ class Relighter:
             out = _forward(variables, images, masks, target_light, target_ambient)
             return pack_visuals(out, masks)
 
+        @jax.jit
+        def _sweep_rendered_u8(variables, image, mask, lights, ambients):
+            # Masked, quantized renders only (L, H, W, 3) uint8 — the sweep
+            # montage needs nothing else, and u8 is 4x cheaper to fetch.
+            out = _sweep(variables, image, mask, lights, ambients)
+            r = out.rendered * mask[None, ..., None]
+            return jnp.floor(jnp.clip(r * 255.0, 0.0, 255.0)).astype(jnp.uint8)
+
         self._forward = _forward
         self._net_only = _net_only
         self._sweep = _sweep
         self._forward_visuals = _forward_visuals
+        self._sweep_rendered_u8 = _sweep_rendered_u8
 
     # ------------------------------------------------------------------
 
@@ -209,6 +218,20 @@ class Relighter:
         if ambients is None:
             ambients = jnp.full((lights.shape[0],), 0.5, jnp.float32)
         return self._sweep(
+            self.variables,
+            jnp.asarray(image, jnp.float32),
+            jnp.asarray(mask, jnp.float32),
+            lights,
+            jnp.asarray(ambients, jnp.float32),
+        )
+
+    def relight_sweep_rendered_u8(self, image, mask, lights, ambients=None) -> Array:
+        """Sweep returning only masked uint8 renders (L, H, W, 3) — the cheap
+        fetch for montage/dump flows."""
+        lights = jnp.asarray(lights, jnp.float32)
+        if ambients is None:
+            ambients = jnp.full((lights.shape[0],), 0.5, jnp.float32)
+        return self._sweep_rendered_u8(
             self.variables,
             jnp.asarray(image, jnp.float32),
             jnp.asarray(mask, jnp.float32),
