@@ -64,7 +64,12 @@ def _relighter(args, default_preset: str):
                 cfg.render, shadow_matmul_precision="default"
             ),
         )
-    return load_relighter(args.checkpoint, cfg=cfg)
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from geomconsistentfr_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    return load_relighter(args.checkpoint, cfg=cfg, mesh=mesh)
 
 
 def _parse_light(args):
@@ -199,6 +204,7 @@ def cmd_eval_multipie(args) -> int:
         mask_fill_nose_dir=os.path.join(root, "MP_depth_masks_fill_nose"),
         output_dir=args.out,
         limit=args.limit,
+        batch_size=args.batch_size,
     )
     metrics = evaluate_output_dir(
         args.out,
@@ -398,6 +404,13 @@ def main(argv=None) -> int:
     _add_common_model_args(p)
     p.add_argument("--data-root", required=True)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument(
+        "--data-parallel",
+        action="store_true",
+        help="shard inference batches across all visible devices "
+        "(batch-size must be a multiple of the device count)",
+    )
     p.add_argument(
         "--lpips-trunk",
         default=None,

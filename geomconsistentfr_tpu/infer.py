@@ -81,23 +81,34 @@ def pack_visuals(outputs: RenderOutputs, masks: Array) -> Array:
 
 
 class Relighter:
-    """High-level inference wrapper around RelightNet + the renderer."""
+    """High-level inference wrapper around RelightNet + the renderer.
+
+    With `mesh` (a 1-D jax.sharding.Mesh, see parallel.mesh.make_mesh) the
+    batched entry points — forward / forward_visuals / estimate_lighting —
+    run data-parallel: parameters replicated, the batch axis sharded across
+    devices via shard_map (the Pallas march kernel requires the manual-SPMD
+    path; GSPMD cannot partition it). Batch sizes must be a multiple of the
+    mesh size.
+    The reference has no multi-device anything (SURVEY §2.3); this is the
+    eval/serving counterpart of train.make_data_parallel_step.
+    """
 
     def __init__(
         self,
         cfg: PipelineConfig,
         variables,
         use_skips: Tuple[bool, bool, bool, bool] = FULL_SKIPS,
+        mesh=None,
     ):
         self.cfg = cfg
         self.variables = variables
         self.use_skips = use_skips
+        self.mesh = mesh
         self.model = RelightNet(cfg=cfg.model)
 
         rcfg = cfg.render
 
-        @jax.jit
-        def _forward(variables, images, masks, target_light, target_ambient):
+        def _forward_core(variables, images, masks, target_light, target_ambient):
             net = self.model.apply(
                 variables, images, train=False, use_skips=use_skips
             )
@@ -111,11 +122,39 @@ class Relighter:
                 target_ambient=target_ambient,
             )
 
-        @jax.jit
-        def _net_only(variables, images):
+        def _net_only_core(variables, images):
             return self.model.apply(
                 variables, images, train=False, use_skips=use_skips
             )
+
+        def _forward_visuals_core(variables, images, masks, target_light,
+                                  target_ambient):
+            out = _forward_core(variables, images, masks, target_light,
+                                target_ambient)
+            return pack_visuals(out, masks)
+
+        if mesh is None:
+            _forward = jax.jit(_forward_core)
+            _net_only = jax.jit(_net_only_core)
+            _forward_visuals = jax.jit(_forward_visuals_core)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            from geomconsistentfr_tpu.parallel.mesh import shard_map_fn
+
+            dp = P(mesh.axis_names[0])
+            rep = P()
+            _forward = jax.jit(shard_map_fn(
+                _forward_core, mesh,
+                in_specs=(rep, dp, dp, dp, dp), out_specs=dp,
+            ))
+            _net_only = jax.jit(shard_map_fn(
+                _net_only_core, mesh, in_specs=(rep, dp), out_specs=dp,
+            ))
+            _forward_visuals = jax.jit(shard_map_fn(
+                _forward_visuals_core, mesh,
+                in_specs=(rep, dp, dp, dp, dp), out_specs=dp,
+            ))
 
         @jax.jit
         def _sweep(variables, image, mask, lights, ambients):
@@ -141,11 +180,6 @@ class Relighter:
             )
 
         @jax.jit
-        def _forward_visuals(variables, images, masks, target_light, target_ambient):
-            out = _forward(variables, images, masks, target_light, target_ambient)
-            return pack_visuals(out, masks)
-
-        @jax.jit
         def _sweep_rendered_u8(variables, image, mask, lights, ambients):
             # Masked, quantized renders only (L, H, W, 3) uint8 — the sweep
             # montage needs nothing else, and u8 is 4x cheaper to fetch.
@@ -161,6 +195,13 @@ class Relighter:
 
     # ------------------------------------------------------------------
 
+    def _check_batch(self, b: int) -> None:
+        if self.mesh is not None and b % self.mesh.size:
+            raise ValueError(
+                f"batch size {b} must be a multiple of the mesh size "
+                f"{self.mesh.size} (pad the tail batch, as run_inference does)"
+            )
+
     def forward(
         self,
         images,
@@ -172,6 +213,7 @@ class Relighter:
         images = jnp.asarray(images, jnp.float32)
         masks = jnp.asarray(masks, jnp.float32)
         b = images.shape[0]
+        self._check_batch(b)
         if target_light is None:
             target_light = jnp.zeros((b, 3), jnp.float32)
         if target_ambient is None:
@@ -200,6 +242,7 @@ class Relighter:
         images = jnp.asarray(images, jnp.float32)
         masks = jnp.asarray(masks, jnp.float32)
         b = images.shape[0]
+        self._check_batch(b)
         if target_light is None:
             target_light = jnp.zeros((b, 3), jnp.float32)
         if target_ambient is None:
@@ -247,7 +290,9 @@ class Relighter:
         """
         from geomconsistentfr_tpu.render import estimated_light
 
-        net = self._net_only(self.variables, jnp.asarray(images, jnp.float32))
+        images = jnp.asarray(images, jnp.float32)
+        self._check_batch(images.shape[0])
+        net = self._net_only(self.variables, images)
         unit, ambient = estimated_light(net.lighting, self.cfg.render)
         return np.asarray(unit), np.asarray(ambient)
 
@@ -263,6 +308,7 @@ def load_relighter(
     checkpoint_path: str,
     cfg: Optional[PipelineConfig] = None,
     use_skips: Tuple[bool, bool, bool, bool] = FULL_SKIPS,
+    mesh=None,
 ) -> Relighter:
     """Build a Relighter from a reference .pth or an orbax checkpoint dir."""
     import os
@@ -291,4 +337,4 @@ def load_relighter(
 
         variables = transfer_to_target_variant(variables)
     variables = jax.tree.map(jnp.asarray, variables)
-    return Relighter(cfg, variables, use_skips=use_skips)
+    return Relighter(cfg, variables, use_skips=use_skips, mesh=mesh)

@@ -202,3 +202,45 @@ def test_run_inference_rejects_count_mismatch(fake_eval_data, tmp_path):
             mask_fill_nose_dir=os.path.join(root, "MP_depth_masks_fill_nose"),
             output_dir=str(tmp_path / "out"),
         )
+
+
+def test_run_inference_data_parallel_matches_single_device(fake_eval_data, tmp_path):
+    """run_inference over a mesh-sharded Relighter writes the same PNGs."""
+    import imageio.v2 as imageio
+
+    from geomconsistentfr_tpu.config import preset_multipie_eval
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.metrics.eval_multipie import run_inference
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.parallel.mesh import make_mesh
+
+    cfg = preset_multipie_eval()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=64, img_width=64,
+            num_sample_points=16, t_stop=0.105, march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    mesh = make_mesh()
+
+    kwargs = dict(
+        input_dir=os.path.join(fake_eval_data, "input_images_MP_18_lightings"),
+        gt_dir=os.path.join(fake_eval_data, "groundtruth_images_MP_18_lightings"),
+        lighting_mat=os.path.join(fake_eval_data, "MP_lighting_directions.mat"),
+        mask_fill_nose_dir=os.path.join(fake_eval_data, "MP_depth_masks_fill_nose"),
+        batch_size=mesh.size,  # 2 images pad up to one mesh-wide batch
+    )
+    a_dir, b_dir = str(tmp_path / "single"), str(tmp_path / "dp")
+    run_inference(Relighter(cfg, variables), output_dir=a_dir, **kwargs)
+    run_inference(Relighter(cfg, variables, mesh=mesh), output_dir=b_dir, **kwargs)
+
+    files = sorted(os.listdir(a_dir))
+    assert files == sorted(os.listdir(b_dir)) and len(files) == 12
+    for name in files:
+        a = imageio.imread(os.path.join(a_dir, name)).astype(np.int16)
+        b = imageio.imread(os.path.join(b_dir, name)).astype(np.int16)
+        assert np.abs(a - b).max() <= 1, name

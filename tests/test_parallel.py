@@ -50,3 +50,69 @@ def test_render_sharded_over_light_axis():
     # Really sharded over 8 devices:
     assert len(got_sharded.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(got_sharded), want, atol=1e-5)
+
+
+def test_relighter_data_parallel_matches_single_device():
+    """Mesh-sharded inference (shard_map over the batch axis) returns exactly
+    the single-device results; the eval/serving counterpart of DP training."""
+    import dataclasses
+
+    import numpy as np
+    import pytest
+
+    import jax
+    import jax.numpy as jnp
+
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.parallel.mesh import make_mesh
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=32, img_width=32,
+            num_sample_points=8, t_stop=0.065, march_chunk=8,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    mesh = make_mesh()
+    assert mesh.size > 1, "conftest should provide the virtual 8-device mesh"
+
+    rl1 = Relighter(cfg, variables)
+    rln = Relighter(cfg, variables, mesh=mesh)
+
+    rng = np.random.default_rng(5)
+    b = mesh.size
+    img = rng.uniform(size=(b, 32, 32, 3)).astype(np.float32)
+    mask = (rng.uniform(size=(b, 32, 32)) > 0.2).astype(np.float32)
+    light = rng.normal(size=(b, 3)).astype(np.float32)
+    light /= np.linalg.norm(light, axis=1, keepdims=True)
+    amb = np.full((b,), 0.5, np.float32)
+
+    out1 = rl1.forward(img, mask, target_light=light, target_ambient=amb)
+    outn = rln.forward(img, mask, target_light=light, target_ambient=amb)
+    for f in out1._fields:
+        # Per-device batch 1 vs global batch changes XLA fusion/reduction
+        # order; measured drift is <=1e-4 (unit-scale fields).
+        np.testing.assert_allclose(
+            np.asarray(getattr(out1, f)), np.asarray(getattr(outn, f)),
+            atol=5e-4, err_msg=f,
+        )
+
+    pack1 = np.asarray(rl1.forward_visuals(img, mask, target_light=light,
+                                           target_ambient=amb))
+    packn = np.asarray(rln.forward_visuals(img, mask, target_light=light,
+                                           target_ambient=amb))
+    assert np.abs(pack1.astype(int) - packn.astype(int)).max() <= 1
+
+    u1, a1 = rl1.estimate_lighting(img)
+    un, an = rln.estimate_lighting(img)
+    np.testing.assert_allclose(u1, un, atol=1e-5)
+    np.testing.assert_allclose(a1, an, atol=1e-5)
+
+    with pytest.raises(ValueError, match="multiple of the mesh size"):
+        rln.forward(img[: b - 1], mask[: b - 1])
