@@ -324,6 +324,51 @@ def cmd_build_cache(args) -> int:
     return 0
 
 
+def cmd_lpips_train(args) -> int:
+    """Train LPIPS linear heads + ranking net on a BAPPS-style 2AFC directory.
+
+    Counterpart of the vendored library's training mode
+    (PerceptualSimilarity/lpips/trainer.py + scripts/train_test_metric.sh:
+    nepoch regular epochs then nepoch_decay epochs of linear LR decay),
+    driving data/bapps.TwoAFCDirectory into metrics/lpips_train.
+    """
+    import numpy as np
+
+    from geomconsistentfr_tpu.data.bapps import TwoAFCDirectory
+    from geomconsistentfr_tpu.metrics.lpips_train import LPIPS2AFCTrainer
+
+    trunk = None
+    if args.trunk:
+        from geomconsistentfr_tpu.models.lpips import load_trunk_state
+
+        trunk = load_trunk_state(args.trunk, net=args.net)
+    trainer = LPIPS2AFCTrainer(
+        trunk_state=trunk,
+        allow_random_trunk=args.random_trunk,
+        lr=args.lr,
+        net=args.net,
+        seed=args.seed,
+    )
+    data = TwoAFCDirectory(args.data_root, load_size=args.load_size)
+    if not len(data):
+        raise SystemExit(f"no 2AFC triples under {args.data_root}")
+    for epoch in range(args.epochs + args.epochs_decay):
+        agg = []
+        for batch in data.batches(
+            args.batch_size, shuffle=True, seed=args.seed + epoch,
+            drop_remainder=len(data) > args.batch_size,
+        ):
+            agg.append(trainer.train_step(batch))
+        mean = {k: float(np.mean([m[k] for m in agg])) for k in agg[0]}
+        row = {"epoch": epoch, "batches": len(agg), **mean}
+        if epoch >= args.epochs:
+            row["lr"] = trainer.decay_learning_rate(args.epochs_decay)
+        print(json.dumps(row))
+    trainer.save_lin_weights(args.out)
+    print(json.dumps({"lin_weights": args.out, "net": args.net}))
+    return 0
+
+
 def cmd_visualize_lighting(args) -> int:
     """Render shaded-sphere lighting visualizations (one PNG per direction).
 
@@ -476,6 +521,31 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--limit", type=int, default=None)
     p.set_defaults(fn=cmd_build_cache)
+
+    p = sub.add_parser(
+        "lpips-train",
+        help="train LPIPS lin heads on a BAPPS-style 2AFC directory",
+    )
+    p.add_argument(
+        "--data-root", required=True, nargs="+",
+        help="2AFC directory roots (each with ref/ p0/ p1/ judge/)",
+    )
+    p.add_argument("--out", required=True, help="output lin-head weights (.npz)")
+    p.add_argument("--net", default="alex", choices=("alex", "vgg", "squeeze"))
+    p.add_argument("--trunk", default=None, help="trunk weights (.pth/.npz)")
+    p.add_argument(
+        "--random-trunk", action="store_true",
+        help="SMOKE ONLY: train against a random frozen trunk",
+    )
+    p.add_argument("--epochs", type=int, default=10,
+                   help="constant-LR epochs (reference nepoch)")
+    p.add_argument("--epochs-decay", type=int, default=10,
+                   help="linear-decay epochs (reference nepoch_decay)")
+    p.add_argument("--batch-size", type=int, default=50)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--load-size", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_lpips_train)
 
     p = sub.add_parser(
         "visualize-lighting", help="shaded-sphere lighting visualizations"

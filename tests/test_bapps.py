@@ -109,3 +109,41 @@ def test_count_mismatch_raises(bapps_root, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         TwoAFCDirectory(str(tmp_path / "nonexistent"))
+
+
+def test_lpips_train_cli(bapps_root, tmp_path):
+    """`cli lpips-train` runs the 2AFC loop end to end and exports lin heads."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "lin.npz"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "geomconsistentfr_tpu.cli", "lpips-train",
+            "--data-root", os.path.join(bapps_root, "2afc", "val", "traditional"),
+            "--out", str(out), "--random-trunk",
+            "--epochs", "1", "--epochs-decay", "1",
+            "--batch-size", "3", "--load-size", "64",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""},
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [json.loads(l) for l in r.stdout.strip().splitlines()]
+    assert lines[-1]["lin_weights"] == str(out) and out.exists()
+    epochs = [l for l in lines if "epoch" in l]
+    assert len(epochs) == 2 and epochs[0]["batches"] == 2
+    assert "loss" in epochs[0] or "total" in epochs[0] or len(epochs[0]) > 3
+    assert "lr" in epochs[1]  # decay epoch reports the decayed LR
+
+    # The exported heads load back into the scorer path.
+    from geomconsistentfr_tpu.models.lpips import LPIPSMetric
+
+    metric = LPIPSMetric(
+        lin_weights_path=str(out), allow_random_trunk=True, net="alex"
+    )
+    rng = np.random.default_rng(1)
+    a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    d = metric(a, a)
+    assert np.allclose(np.asarray(d), 0.0, atol=1e-5)
