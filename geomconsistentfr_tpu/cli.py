@@ -369,6 +369,55 @@ def cmd_lpips_train(args) -> int:
     return 0
 
 
+def cmd_lpips_score(args) -> int:
+    """Score a perceptual metric on a BAPPS-style 2AFC or JND directory.
+
+    Counterpart of the vendored library's evaluation mode
+    (PerceptualSimilarity test_dataset_model.py / scripts/eval_valsets.sh):
+    2AFC human-agreement or JND mAP for the LPIPS / L2 / DSSIM distances.
+    """
+    import numpy as np
+
+    from geomconsistentfr_tpu.data.bapps import (
+        score_2afc_directory,
+        score_jnd_directory,
+    )
+    from geomconsistentfr_tpu.metrics.perceptual import (
+        dssim_distance,
+        l2_distance,
+    )
+
+    if args.metric == "l2":
+        distance = l2_distance
+    elif args.metric == "dssim":
+        distance = dssim_distance
+    else:
+        from geomconsistentfr_tpu.models.lpips import LPIPSMetric, load_trunk_state
+
+        trunk = load_trunk_state(args.trunk, net=args.net) if args.trunk else None
+        metric = LPIPSMetric(
+            lin_weights_path=args.lin,
+            trunk_state=trunk,
+            allow_random_trunk=args.random_trunk,
+            net=args.net,
+        )
+
+        def distance(a, b):
+            return float(np.mean(metric(a, b)))
+
+    if args.mode == "2afc":
+        score = score_2afc_directory(
+            args.data_root, distance, load_size=args.load_size
+        )
+    else:
+        (root,) = args.data_root
+        score = score_jnd_directory(root, distance, load_size=args.load_size)
+    print(json.dumps({
+        "mode": args.mode, "metric": args.metric, "score": round(score, 6),
+    }))
+    return 0
+
+
 def cmd_visualize_lighting(args) -> int:
     """Render shaded-sphere lighting visualizations (one PNG per direction).
 
@@ -546,6 +595,25 @@ def main(argv=None) -> int:
     p.add_argument("--load-size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_lpips_train)
+
+    p = sub.add_parser(
+        "lpips-score",
+        help="2AFC / JND scoring of LPIPS|L2|DSSIM on a BAPPS directory",
+    )
+    p.add_argument("--mode", choices=("2afc", "jnd"), default="2afc")
+    p.add_argument(
+        "--data-root", required=True, nargs="+",
+        help="dataset roots (2afc: ref/p0/p1/judge dirs; jnd: exactly one "
+        "root with p0/p1/same)",
+    )
+    p.add_argument("--metric", choices=("lpips", "l2", "dssim"), default="lpips")
+    p.add_argument("--net", default="alex", choices=("alex", "vgg", "squeeze"))
+    p.add_argument("--trunk", default=None, help="LPIPS trunk weights")
+    p.add_argument("--lin", default=None, help="LPIPS lin-head weights")
+    p.add_argument("--random-trunk", action="store_true",
+                   help="SMOKE ONLY: random LPIPS trunk")
+    p.add_argument("--load-size", type=int, default=64)
+    p.set_defaults(fn=cmd_lpips_score)
 
     p = sub.add_parser(
         "visualize-lighting", help="shaded-sphere lighting visualizations"

@@ -147,3 +147,33 @@ def test_lpips_train_cli(bapps_root, tmp_path):
     a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
     d = metric(a, a)
     assert np.allclose(np.asarray(d), 0.0, atol=1e-5)
+
+
+def test_lpips_score_cli(bapps_root):
+    """`cli lpips-score` scores 2AFC and JND directories for every metric."""
+    import json
+    import subprocess
+    import sys
+
+    afc = os.path.join(bapps_root, "2afc", "val", "traditional")
+    jnd = os.path.join(bapps_root, "jnd", "val", "traditional")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+
+    def run(*extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "geomconsistentfr_tpu.cli", "lpips-score",
+             *extra],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    # L2 on the synthetic set is near-perfect by construction (close vs far).
+    out = run("--mode", "2afc", "--data-root", afc, "--metric", "l2")
+    assert out["score"] > 0.9, out
+    out = run("--mode", "jnd", "--data-root", jnd, "--metric", "l2")
+    assert 0.5 < out["score"] <= 1.0, out
+    # LPIPS path exercises the trunk+lin stack (random trunk smoke).
+    out = run("--mode", "2afc", "--data-root", afc, "--metric", "lpips",
+              "--random-trunk")
+    assert 0.0 <= out["score"] <= 1.0, out
