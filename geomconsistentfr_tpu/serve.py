@@ -20,8 +20,10 @@ Request handling is threaded (decode/encode and socket IO run concurrently);
 ALL device work — /relight and /estimate — funnels through one micro-batching
 worker thread, which the exclusive TPU requires. /relight requests coalesce
 into one padded device batch (TPU serving batches are fixed-shape, so only
-three shapes ever compile: relight batch 1 for idle traffic, --max-batch for
-bursts, and estimate batch 1); /estimate runs serialized between batches.
+three shapes ever compile: a minimum relight batch for idle traffic,
+--max-batch for bursts, and one estimate shape); /estimate runs serialized
+between batches. With --data-parallel the relighter shards every device batch
+across all chips (min batch = chip count; --max-batch a multiple of it).
 Handler threads block on a Future with a timeout and return 503 if the
 worker wedges or dies, rather than hanging the client forever.
 """
@@ -95,6 +97,15 @@ class MicroBatcher:
     ):
         self.relighter = relighter
         self.max_batch = max_batch
+        # Mesh-sharded relighters need every device batch to be a multiple of
+        # the mesh size; idle traffic pads to one row per device instead of 1.
+        mesh = getattr(relighter, "mesh", None)
+        self.min_batch = mesh.size if mesh is not None else 1
+        if max_batch % self.min_batch:
+            raise ValueError(
+                f"max_batch {max_batch} must be a multiple of the mesh size "
+                f"{self.min_batch}"
+            )
         self.window_s = window_ms / 1000.0
         self.request_timeout_s = request_timeout_s
         self._queue: "queue.Queue" = queue.Queue()
@@ -123,9 +134,11 @@ class MicroBatcher:
             kind, payload, fut = self._queue.get()
             try:
                 if kind == "estimate":
-                    unit, ambient = self.relighter.estimate_lighting(
-                        payload[None].astype(np.float32)
+                    batch = np.broadcast_to(
+                        payload.astype(np.float32)[None],
+                        (self.min_batch, *payload.shape),
                     )
+                    unit, ambient = self.relighter.estimate_lighting(batch)
                     fut.set_result((unit[0], float(ambient[0])))
                     continue
 
@@ -156,7 +169,7 @@ class MicroBatcher:
     def _run_relight_batch(self, items):
         n = len(items)
         # Fixed-shape buckets keep the number of compiled programs at 2.
-        padded = n if n == 1 else self.max_batch
+        padded = self.min_batch if n <= self.min_batch else self.max_batch
         try:
             def stack(i):
                 rows = [it[0][i] for it in items]
@@ -325,6 +338,9 @@ def main(argv=None) -> int:
     parser.add_argument("--fast", action="store_true",
                         help="bf16 CNN + fast shadow matmuls (~2x throughput, "
                         "golden parity >50 dB); default strict f32")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard device batches across all visible chips "
+                        "(--max-batch must be a multiple of the chip count)")
     args = parser.parse_args(argv)
 
     import dataclasses
@@ -341,7 +357,12 @@ def main(argv=None) -> int:
                 cfg.render, shadow_matmul_precision="default"
             ),
         )
-    relighter = load_relighter(args.checkpoint, cfg=cfg)
+    mesh = None
+    if args.data_parallel:
+        from geomconsistentfr_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    relighter = load_relighter(args.checkpoint, cfg=cfg, mesh=mesh)
     batcher = MicroBatcher(
         relighter, max_batch=args.max_batch, window_ms=args.batch_window_ms
     )

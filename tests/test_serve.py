@@ -332,3 +332,80 @@ def test_worker_death_returns_503():
     with pytest.raises(WorkerDied):
         batcher.submit(img, mask, light, np.float32(0.5))
     assert batcher._thread.is_alive()
+
+
+def test_serving_data_parallel_mesh():
+    """A mesh-sharded relighter serves /relight, /estimate and /transfer
+    through the MicroBatcher: idle batches pad to one row per device and
+    max_batch must be mesh-divisible."""
+    import pytest
+
+    from http.server import ThreadingHTTPServer
+
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.parallel.mesh import make_mesh
+    from geomconsistentfr_tpu.serve import MicroBatcher, make_handler
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=64, img_width=64,
+            num_sample_points=16, t_stop=0.105, march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    mesh = make_mesh()
+    relighter = Relighter(cfg, variables, mesh=mesh)
+
+    with pytest.raises(ValueError, match="multiple of the mesh size"):
+        MicroBatcher(relighter, max_batch=mesh.size + 1)
+
+    batcher = MicroBatcher(relighter, max_batch=mesh.size, window_ms=20.0)
+
+    import geomconsistentfr_tpu.serve as serve_mod
+
+    orig = serve_mod._decode_image
+    serve_mod._decode_image = lambda b64, size=64: orig(b64, size=64)
+    try:
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(relighter, batcher)
+        )
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+
+        rng = np.random.default_rng(7)
+        img = rng.uniform(size=(64, 64, 3))
+        mask = np.ones((64, 64, 3))
+
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/relight", json.dumps({
+            "image": _png_b64(img), "mask": _png_b64(mask),
+            "light_preset": "multipie_14",
+        }))
+        resp = conn.getresponse()
+        payload = json.loads(resp.read())
+        assert resp.status == 200, payload
+
+        conn.request("POST", "/estimate", json.dumps({"image": _png_b64(img)}))
+        est = json.loads(conn.getresponse().read())
+        np.testing.assert_allclose(np.linalg.norm(est["direction"]), 1.0,
+                                   rtol=1e-4)
+
+        conn.request("POST", "/transfer", json.dumps({
+            "image": _png_b64(img), "reference": _png_b64(img),
+            "mask": _png_b64(mask),
+        }))
+        resp = conn.getresponse()
+        tr = json.loads(resp.read())
+        assert resp.status == 200, tr
+        np.testing.assert_allclose(tr["direction"], est["direction"], atol=1e-4)
+        server.shutdown()
+    finally:
+        serve_mod._decode_image = orig
