@@ -152,16 +152,31 @@ def cmd_sweep(args) -> int:
 
 
 def cmd_transfer(args) -> int:
-    from geomconsistentfr_tpu.utils.io import read_image, read_mask, save_render_outputs
+    import numpy as np
+
+    from geomconsistentfr_tpu.utils.io import read_image, read_mask, save_visual_pack
 
     rl = _relighter(args, "lighting_transfer")
     img = read_image(args.input)
     ref = read_image(args.reference)
     mask = read_mask(args.mask)
-    out = rl.transfer_lighting(img[None], ref[None], mask[None])
+    # 2-pass: estimate from the reference, then one packed-uint8 fetch of the
+    # six dump outputs (4x fewer device->host bytes than f32 RenderOutputs).
+    unit, ambient = rl.estimate_lighting(ref[None])
+    pack = np.asarray(
+        rl.forward_visuals(
+            img[None], mask[None],
+            target_light=np.asarray(unit, np.float32),
+            target_ambient=np.asarray(ambient, np.float32),
+        )
+    )[0]
     stem = os.path.splitext(os.path.basename(args.input))[0]
-    paths = save_render_outputs(args.out, stem, out, mask)
-    print(json.dumps({"outputs": paths}))
+    paths = save_visual_pack(args.out, stem, pack)
+    print(json.dumps({
+        "outputs": paths,
+        "estimated_direction": [float(v) for v in unit[0]],
+        "estimated_ambient": float(ambient[0]),
+    }))
     return 0
 
 
