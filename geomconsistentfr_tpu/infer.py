@@ -108,7 +108,17 @@ class Relighter:
 
         rcfg = cfg.render
 
+        def _dev01(x):
+            # uint8 inputs convert to [0, 1] f32 ON DEVICE: PNG-decoded bytes
+            # upload at 1/4 the f32 cost over the host link (the same lesson
+            # as pack_visuals, in the other direction). Exact: u8/255 in f32
+            # is the identical value the host conversion would produce.
+            if x.dtype == jnp.uint8:
+                return x.astype(jnp.float32) / 255.0
+            return x
+
         def _forward_core(variables, images, masks, target_light, target_ambient):
+            images, masks = _dev01(images), _dev01(masks)
             net = self.model.apply(
                 variables, images, train=False, use_skips=use_skips
             )
@@ -124,14 +134,14 @@ class Relighter:
 
         def _net_only_core(variables, images):
             return self.model.apply(
-                variables, images, train=False, use_skips=use_skips
+                variables, _dev01(images), train=False, use_skips=use_skips
             )
 
         def _forward_visuals_core(variables, images, masks, target_light,
                                   target_ambient):
             out = _forward_core(variables, images, masks, target_light,
                                 target_ambient)
-            return pack_visuals(out, masks)
+            return pack_visuals(out, _dev01(masks))
 
         if mesh is None:
             _forward = jax.jit(_forward_core)
@@ -195,6 +205,12 @@ class Relighter:
 
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _as_input(x):
+        """jnp array preserving uint8 (device-side /255) else float32."""
+        x = jnp.asarray(x)
+        return x if x.dtype == jnp.uint8 else x.astype(jnp.float32)
+
     def _check_batch(self, b: int) -> None:
         if self.mesh is not None and b % self.mesh.size:
             raise ValueError(
@@ -210,8 +226,8 @@ class Relighter:
         target_ambient=None,
     ) -> RenderOutputs:
         """Relight a batch. images (B,H,W,3), masks (B,H,W), target_light (B,3)."""
-        images = jnp.asarray(images, jnp.float32)
-        masks = jnp.asarray(masks, jnp.float32)
+        images = self._as_input(images)
+        masks = self._as_input(masks)
         b = images.shape[0]
         self._check_batch(b)
         if target_light is None:
@@ -239,8 +255,8 @@ class Relighter:
         (layout VISUAL_PACK_LAYOUT) — 4x cheaper to fetch than the f32
         RenderOutputs, for dump-to-PNG pipelines like the 862-image protocol.
         """
-        images = jnp.asarray(images, jnp.float32)
-        masks = jnp.asarray(masks, jnp.float32)
+        images = self._as_input(images)
+        masks = self._as_input(masks)
         b = images.shape[0]
         self._check_batch(b)
         if target_light is None:
@@ -290,7 +306,7 @@ class Relighter:
         """
         from geomconsistentfr_tpu.render import estimated_light
 
-        images = jnp.asarray(images, jnp.float32)
+        images = self._as_input(images)
         self._check_batch(images.shape[0])
         net = self._net_only(self.variables, images)
         unit, ambient = estimated_light(net.lighting, self.cfg.render)

@@ -133,7 +133,11 @@ def run_inference(
     """
     import scipy.io
 
-    from geomconsistentfr_tpu.utils.io import read_image, read_mask, save_visual_pack
+    from geomconsistentfr_tpu.utils.io import (
+        read_image_u8,
+        read_mask_u8,
+        save_visual_pack,
+    )
 
     inputs = sorted(os.listdir(input_dir))
     gts = sorted(os.listdir(gt_dir))
@@ -175,9 +179,11 @@ def run_inference(
         stop = min(start + batch_size, n)
         imgs, msks, lights = [], [], []
         for i in range(start, stop):
-            imgs.append(read_image(os.path.join(input_dir, inputs[i]), size=size))
+            # uint8 all the way to the device: the forward converts to
+            # [0, 1] f32 on device, so the upload is bytes, not f32.
+            imgs.append(read_image_u8(os.path.join(input_dir, inputs[i]), size=size))
             msks.append(
-                read_mask(os.path.join(mask_fill_nose_dir, masks[i]), size=size)
+                read_mask_u8(os.path.join(mask_fill_nose_dir, masks[i]), size=size)
             )
             idx = int(gts[i].split(".")[0].split("_")[-1]) - 1
             lights.append(directions[idx])

@@ -45,19 +45,23 @@ from concurrent.futures import TimeoutError as FutTimeout
 
 
 def _decode_image(b64: str, size: int = 256) -> np.ndarray:
+    """Decode a base64 PNG to uint8 RGB. Stays uint8 end to end: the device
+    converts to [0, 1] f32 (infer.Relighter), so request uploads cost 1/4
+    of the f32 bytes over the host link."""
     import imageio.v2 as imageio
 
-    raw = imageio.imread(io.BytesIO(base64.b64decode(b64)))
-    img = np.asarray(raw, np.float64) / 255.0
-    if img.ndim == 2:
-        img = np.stack([img] * 3, -1)
-    if img.shape[-1] == 4:
-        img = img[..., :3]
-    if img.shape[0] != size:
+    raw = np.asarray(imageio.imread(io.BytesIO(base64.b64decode(b64))))
+    if raw.dtype != np.uint8:
+        raw = np.clip(raw, 0, 255).astype(np.uint8)
+    if raw.ndim == 2:
+        raw = np.stack([raw] * 3, -1)
+    if raw.shape[-1] == 4:
+        raw = raw[..., :3]
+    if raw.shape[0] != size:
         import cv2
 
-        img = cv2.resize(img, (size, size))
-    return img.astype(np.float32)
+        raw = cv2.resize(raw, (size, size))
+    return raw
 
 
 def _encode_image(img: np.ndarray) -> str:
@@ -134,9 +138,9 @@ class MicroBatcher:
             kind, payload, fut = self._queue.get()
             try:
                 if kind == "estimate":
+                    # uint8 stays uint8 (device-side /255).
                     batch = np.broadcast_to(
-                        payload.astype(np.float32)[None],
-                        (self.min_batch, *payload.shape),
+                        payload[None], (self.min_batch, *payload.shape)
                     )
                     unit, ambient = self.relighter.estimate_lighting(batch)
                     fut.set_result((unit[0], float(ambient[0])))
@@ -172,9 +176,12 @@ class MicroBatcher:
         padded = self.min_batch if n <= self.min_batch else self.max_batch
         try:
             def stack(i):
-                rows = [it[0][i] for it in items]
+                # Images/masks arrive uint8 and stay uint8 (device /255);
+                # lights/ambients are float.
+                rows = [np.asarray(it[0][i]) for it in items]
                 rows += [rows[-1]] * (padded - n)
-                return np.stack(rows).astype(np.float32)
+                out = np.stack(rows)
+                return out if out.dtype == np.uint8 else out.astype(np.float32)
 
             # Fetch the device-quantized visual pack (uint8, pre-masked):
             # ~4x less host-link traffic than f32 rendered+weights, and the

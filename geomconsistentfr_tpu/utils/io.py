@@ -50,6 +50,41 @@ def read_image(path: str, size: int = 256) -> np.ndarray:
     return img.astype(np.float32)
 
 
+def read_image_u8(path: str, size: int = 256) -> np.ndarray:
+    """Read an image as uint8 RGB (H, W, 3), resized to (size, size).
+
+    For device pipelines that convert to [0, 1] f32 on device
+    (infer.Relighter accepts uint8 batches): uploading bytes costs 1/4 of
+    f32 over the host link. At native size the values are exactly the
+    PNG-decoded bytes; resizing interpolates in uint8."""
+    img = np.asarray(_imread(path))
+    if img.dtype != np.uint8:
+        img = np.clip(img, 0, 255).astype(np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.shape[-1] == 4:
+        img = img[..., :3]
+    if img.shape[0] != size or img.shape[1] != size:
+        import cv2
+
+        img = cv2.resize(img, (size, size))
+    return img
+
+
+def read_mask_u8(path: str, size: int = 256) -> np.ndarray:
+    """Read a face mask as uint8 (H, W) (device pipelines divide by 255)."""
+    m = np.asarray(_imread(path))
+    if m.dtype != np.uint8:
+        m = np.clip(m, 0, 255).astype(np.uint8)
+    if m.ndim == 3:
+        m = m[..., 0]
+    if m.shape[0] != size or m.shape[1] != size:
+        import cv2
+
+        m = cv2.resize(m, (size, size), interpolation=cv2.INTER_NEAREST)
+    return m
+
+
 def read_mask(path: str, size: int = 256) -> np.ndarray:
     """Read a face mask as float32 in [0, 1] (values /255, reference :586)."""
     m = np.asarray(_imread(path), dtype=np.float32)

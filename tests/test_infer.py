@@ -142,3 +142,40 @@ def test_visual_pack_matches_float_path(small_relighter, tmp_path):
             # boundaries; anything larger is a real transform mismatch.
             assert diff.max() <= 1, (kind, k, diff.max())
             assert (diff > 0).mean() < 0.01, (kind, k, (diff > 0).mean())
+
+
+def test_uint8_inputs_match_float_path(small_relighter):
+    """uint8 batches (device-side /255) produce bit-identical results to the
+    equivalent f32 inputs — uploads are bytes, semantics unchanged."""
+    rng = np.random.default_rng(11)
+    img_u8 = rng.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    mask_u8 = (rng.uniform(size=(2, 64, 64)) > 0.3).astype(np.uint8) * 255
+    light = np.array([[0.69, 0.4, 0.6], [-0.76, 0.0, 0.65]], np.float32)
+    amb = np.array([0.5, 0.4], np.float32)
+
+    img_f = img_u8.astype(np.float32) / 255.0
+    mask_f = mask_u8.astype(np.float32) / 255.0
+
+    out_f = small_relighter.forward(img_f, mask_f, target_light=light,
+                                    target_ambient=amb)
+    out_u = small_relighter.forward(img_u8, mask_u8, target_light=light,
+                                    target_ambient=amb)
+    # XLA lowers the device-side /255 to a reciprocal multiply: 1-ulp
+    # (~6e-8) drift vs the host division, amplified to ~1e-4 worst-case
+    # through the depth(x100)->normals->shading chain.
+    for f in out_f._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_f, f)), np.asarray(getattr(out_u, f)),
+            atol=2e-4, err_msg=f,
+        )
+
+    pack_f = np.asarray(small_relighter.forward_visuals(
+        img_f, mask_f, target_light=light, target_ambient=amb))
+    pack_u = np.asarray(small_relighter.forward_visuals(
+        img_u8, mask_u8, target_light=light, target_ambient=amb))
+    assert np.abs(pack_f.astype(int) - pack_u.astype(int)).max() <= 1
+
+    u_f, a_f = small_relighter.estimate_lighting(img_f)
+    u_u, a_u = small_relighter.estimate_lighting(img_u8)
+    np.testing.assert_allclose(u_f, u_u, atol=1e-6)
+    np.testing.assert_allclose(a_f, a_u, atol=1e-6)
