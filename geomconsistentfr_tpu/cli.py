@@ -339,6 +339,22 @@ def cmd_build_cache(args) -> int:
     return 0
 
 
+def cmd_config(args) -> int:
+    """Print the fully-resolved pipeline config as JSON (reproducibility:
+    the exact constants a preset + overrides resolve to, reusable as a
+    --config file)."""
+    import dataclasses
+
+    from geomconsistentfr_tpu.config import PRESETS, load_config
+
+    if args.config:
+        cfg = load_config(args.config, preset=args.preset)
+    else:
+        cfg = PRESETS[args.preset]()
+    print(json.dumps(dataclasses.asdict(cfg), indent=2, default=str))
+    return 0
+
+
 def cmd_lpips_train(args) -> int:
     """Train LPIPS linear heads + ranking net on a BAPPS-style 2AFC directory.
 
@@ -585,6 +601,14 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--limit", type=int, default=None)
     p.set_defaults(fn=cmd_build_cache)
+
+    p = sub.add_parser(
+        "config", help="print a fully-resolved preset config as JSON"
+    )
+    p.add_argument("--preset", default="single_image",
+                   help="preset name (see config.PRESETS)")
+    p.add_argument("--config", default=None, help="JSON overrides to resolve")
+    p.set_defaults(fn=cmd_config)
 
     p = sub.add_parser(
         "lpips-train",

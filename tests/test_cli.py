@@ -112,3 +112,20 @@ def test_visualize_lighting_explicit_direction(tmp_path):
     # Brightest region on the +x (right) side, background black.
     assert img[:, 40:].max() > img[:, :24].max()
     assert img[0, 0] == 0
+
+
+def test_config_dump_roundtrips(tmp_path):
+    """`cli config` prints resolved JSON that load_config accepts back."""
+    r = _run(["config", "--preset", "multipie_eval"])
+    assert r.returncode == 0, r.stderr
+    cfg = json.loads(r.stdout)
+    assert cfg["render"]["num_sample_points"] == 160
+    assert cfg["render"]["focal_length"] == 1570.0
+    # Round-trip: feed the dump back as overrides.
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(
+        {"render": {"num_sample_points": 80, "t_step": 0.01}}))
+    r2 = _run(["config", "--preset", "multipie_eval", "--config", str(path)])
+    cfg2 = json.loads(r2.stdout)
+    assert cfg2["render"]["num_sample_points"] == 80
+    assert cfg2["render"]["t_step"] == 0.01
