@@ -209,18 +209,23 @@ def cmd_eval_multipie(args) -> int:
             file=sys.stderr,
         )
 
-    rl = _relighter(args, "multipie_eval")
     root = args.data_root
-    n = run_inference(
-        rl,
-        input_dir=os.path.join(root, "input_images_MP_18_lightings"),
-        gt_dir=os.path.join(root, "groundtruth_images_MP_18_lightings"),
-        lighting_mat=os.path.join(root, "MP_lighting_directions.mat"),
-        mask_fill_nose_dir=os.path.join(root, "MP_depth_masks_fill_nose"),
-        output_dir=args.out,
-        limit=args.limit,
-        batch_size=args.batch_size,
-    )
+    if args.eval_only:
+        # Re-score an existing dump (e.g. with a different LPIPS net)
+        # without touching the device.
+        n = 0
+    else:
+        rl = _relighter(args, "multipie_eval")
+        n = run_inference(
+            rl,
+            input_dir=os.path.join(root, "input_images_MP_18_lightings"),
+            gt_dir=os.path.join(root, "groundtruth_images_MP_18_lightings"),
+            lighting_mat=os.path.join(root, "MP_lighting_directions.mat"),
+            mask_fill_nose_dir=os.path.join(root, "MP_depth_masks_fill_nose"),
+            output_dir=args.out,
+            limit=args.limit,
+            batch_size=args.batch_size,
+        )
     metrics = evaluate_output_dir(
         args.out,
         os.path.join(root, "groundtruth_images_MP_18_lightings"),
@@ -535,6 +540,12 @@ def main(argv=None) -> int:
         action="store_true",
         help="shard inference batches across all visible devices "
         "(batch-size must be a multiple of the device count)",
+    )
+    p.add_argument(
+        "--eval-only",
+        action="store_true",
+        help="skip inference: re-score the existing dump in --out "
+        "(e.g. with a different --lpips-net); --checkpoint is not loaded",
     )
     p.add_argument(
         "--lpips-trunk",

@@ -244,3 +244,49 @@ def test_run_inference_data_parallel_matches_single_device(fake_eval_data, tmp_p
         a = imageio.imread(os.path.join(a_dir, name)).astype(np.int16)
         b = imageio.imread(os.path.join(b_dir, name)).astype(np.int16)
         assert np.abs(a - b).max() <= 1, name
+
+
+def test_eval_only_rescore_cli(fake_eval_data, tmp_path):
+    """eval-multipie --eval-only re-scores an existing dump without loading
+    the checkpoint or touching the device."""
+    import json
+    import subprocess
+    import sys
+
+    # Produce a dump via the library (tiny model).
+    from geomconsistentfr_tpu.config import preset_multipie_eval
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.metrics.eval_multipie import run_inference
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+
+    cfg = preset_multipie_eval()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=64, img_width=64,
+            num_sample_points=16, t_stop=0.105, march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    out_dir = str(tmp_path / "dump")
+    run_inference(
+        Relighter(cfg, variables),
+        input_dir=os.path.join(fake_eval_data, "input_images_MP_18_lightings"),
+        gt_dir=os.path.join(fake_eval_data, "groundtruth_images_MP_18_lightings"),
+        lighting_mat=os.path.join(fake_eval_data, "MP_lighting_directions.mat"),
+        mask_fill_nose_dir=os.path.join(fake_eval_data, "MP_depth_masks_fill_nose"),
+        output_dir=out_dir,
+    )
+
+    r = subprocess.run(
+        [sys.executable, "-m", "geomconsistentfr_tpu.cli", "eval-multipie",
+         "--checkpoint", "/nonexistent/never_loaded.pth",
+         "--data-root", fake_eval_data, "--out", out_dir, "--eval-only"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""},
+    )
+    assert r.returncode == 0, r.stderr
+    metrics = json.loads(r.stdout.strip().splitlines()[-1])
+    assert metrics["num_images"] == 2 and metrics["num_inferred"] == 0
