@@ -27,6 +27,16 @@ def main() -> None:
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     cfg = preset_target_lighting_train()
+    if os.environ.get("GCFR_FAST") == "1":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
+            render=dataclasses.replace(
+                cfg.render, shadow_matmul_precision="default"
+            ),
+        )
 
     state = train_mod.init_state(cfg, jax.random.PRNGKey(0), batch_size=batch)
     step = train_mod.make_single_device_step(cfg)
