@@ -315,12 +315,18 @@ def cmd_crop(args) -> int:
     import imageio.v2 as imageio
     import numpy as np
 
-    from geomconsistentfr_tpu.preprocess import crop_face, detect_faces_sfd
+    from geomconsistentfr_tpu.preprocess import (
+        box_from_mask,
+        crop_face,
+        detect_faces_sfd,
+    )
 
     img = np.asarray(imageio.imread(args.image))
     if args.box:
         box = tuple(float(v) for v in args.box.split(","))
         assert len(box) == 4, "--box expects x1,y1,x2,y2"
+    elif args.mask:
+        box = box_from_mask(np.asarray(imageio.imread(args.mask)))
     else:
         detections = detect_faces_sfd(img)
         if not detections:
@@ -603,7 +609,12 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("crop", help="face-crop preprocessing (reference geometry)")
     p.add_argument("--image", required=True)
-    p.add_argument("--box", default=None, help="x1,y1,x2,y2 (else run detector)")
+    p.add_argument("--box", default=None, help="x1,y1,x2,y2 (else see --mask)")
+    p.add_argument(
+        "--mask", default=None,
+        help="skin/face mask PNG: derive the face box from its bounding box "
+        "(detector-free; else the SFD detector is required)",
+    )
     p.add_argument("--out-image", required=True)
     p.set_defaults(fn=cmd_crop)
 

@@ -45,6 +45,23 @@ def detect_faces_sfd(image: np.ndarray):
     return fa.face_detector.detect_from_image(image)
 
 
+def box_from_mask(mask: np.ndarray, threshold: float = 127.5) -> Box:
+    """Face box from a skin/face mask: tight bounding box of mask > threshold.
+
+    Detector-free fallback for environments without the SFD detector
+    (recrop_CelebA-HQ_images.py:9-10 needs face_alignment): the datasets this
+    pipeline handles ship per-image skin masks, whose bounding box is a good
+    SFD-style face box for the crop geometry.
+    """
+    m = np.asarray(mask)
+    if m.ndim == 3:
+        m = m[..., 0]
+    ys, xs = np.nonzero(m > threshold)
+    if ys.size == 0:
+        raise ValueError("mask is empty; cannot derive a face box")
+    return (float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()))
+
+
 def crop_face(
     image: np.ndarray,
     box: Box,

@@ -129,3 +129,28 @@ def test_config_dump_roundtrips(tmp_path):
     cfg2 = json.loads(r2.stdout)
     assert cfg2["render"]["num_sample_points"] == 80
     assert cfg2["render"]["t_step"] == 0.01
+
+
+def test_crop_from_mask(tmp_path):
+    """`crop --mask` derives the face box from a skin mask (detector-free)."""
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (400, 400, 3)).astype(np.uint8)
+    mask = np.zeros((400, 400), np.uint8)
+    mask[80:330, 90:340] = 255  # 250x250 face region (>= 200px minimum)
+    ip, mp = tmp_path / "img.png", tmp_path / "mask.png"
+    imageio.imwrite(ip, img)
+    imageio.imwrite(mp, mask)
+    out = tmp_path / "crop.png"
+    r = _run(["crop", "--image", str(ip), "--mask", str(mp),
+              "--out-image", str(out)])
+    assert r.returncode == 0, r.stderr
+    crop = imageio.imread(out)
+    assert crop.shape == (256, 256, 3)
+
+    # Empty mask -> clean error.
+    imageio.imwrite(mp, np.zeros((400, 400), np.uint8))
+    r = _run(["crop", "--image", str(ip), "--mask", str(mp),
+              "--out-image", str(out)])
+    assert r.returncode != 0
