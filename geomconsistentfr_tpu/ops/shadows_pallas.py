@@ -126,8 +126,8 @@ def _march_kernel(
         # auto: 8-row slabs measure fastest on v5e and compile within VMEM —
         # except the strict TRAINING kernel (HIGHEST matmuls + the second
         # argmin-t* output), which exceeds the VMEM budget under current
-        # toolchains; it gets 4-row slabs (measured 0.55 s/step at batch 3
-        # vs an OOM at 8).
+        # toolchains; it gets 4-row slabs (0.313 s/step at batch 3 on the
+        # current toolchain — re-confirmed slab 8 still fails to compile).
         strict_training = want_tstar and precision == jax.lax.Precision.HIGHEST
         slab = 4 if strict_training else 8
     sub = min(slab, tr)
