@@ -452,8 +452,14 @@ def cmd_lpips_score(args) -> int:
             args.data_root, distance, load_size=args.load_size
         )
     else:
-        (root,) = args.data_root
-        score = score_jnd_directory(root, distance, load_size=args.load_size)
+        if len(args.data_root) != 1:
+            raise SystemExit(
+                "--mode jnd takes exactly one --data-root (a directory with "
+                f"p0/ p1/ same/), got {len(args.data_root)}"
+            )
+        score = score_jnd_directory(
+            args.data_root[0], distance, load_size=args.load_size
+        )
     print(json.dumps({
         "mode": args.mode, "metric": args.metric, "score": round(score, 6),
     }))

@@ -171,6 +171,7 @@ class Relighter:
             # One network forward; the renderer then runs ONCE with the light
             # axis folded into its batch axis (the reference reruns the full
             # network per light, test_raytracing_...py:587-601).
+            image, mask = _dev01(image), _dev01(mask)
             net = self.model.apply(
                 variables, image[None], train=False, use_skips=use_skips
             )
@@ -194,7 +195,7 @@ class Relighter:
             # Masked, quantized renders only (L, H, W, 3) uint8 — the sweep
             # montage needs nothing else, and u8 is 4x cheaper to fetch.
             out = _sweep(variables, image, mask, lights, ambients)
-            r = out.rendered * mask[None, ..., None]
+            r = out.rendered * _dev01(mask)[None, ..., None]
             return jnp.floor(jnp.clip(r * 255.0, 0.0, 255.0)).astype(jnp.uint8)
 
         self._forward = _forward
@@ -278,8 +279,8 @@ class Relighter:
             ambients = jnp.full((lights.shape[0],), 0.5, jnp.float32)
         return self._sweep(
             self.variables,
-            jnp.asarray(image, jnp.float32),
-            jnp.asarray(mask, jnp.float32),
+            self._as_input(image),
+            self._as_input(mask),
             lights,
             jnp.asarray(ambients, jnp.float32),
         )
@@ -292,8 +293,8 @@ class Relighter:
             ambients = jnp.full((lights.shape[0],), 0.5, jnp.float32)
         return self._sweep_rendered_u8(
             self.variables,
-            jnp.asarray(image, jnp.float32),
-            jnp.asarray(mask, jnp.float32),
+            self._as_input(image),
+            self._as_input(mask),
             lights,
             jnp.asarray(ambients, jnp.float32),
         )

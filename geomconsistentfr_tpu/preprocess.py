@@ -45,17 +45,22 @@ def detect_faces_sfd(image: np.ndarray):
     return fa.face_detector.detect_from_image(image)
 
 
-def box_from_mask(mask: np.ndarray, threshold: float = 127.5) -> Box:
+def box_from_mask(mask: np.ndarray, threshold: float | None = None) -> Box:
     """Face box from a skin/face mask: tight bounding box of mask > threshold.
 
     Detector-free fallback for environments without the SFD detector
     (recrop_CelebA-HQ_images.py:9-10 needs face_alignment): the datasets this
     pipeline handles ship per-image skin masks, whose bounding box is a good
     SFD-style face box for the crop geometry.
+
+    threshold defaults to half the mask's maximum, which handles 0/255,
+    0/1 and float-[0,1] mask encodings alike.
     """
     m = np.asarray(mask)
     if m.ndim == 3:
         m = m[..., 0]
+    if threshold is None:
+        threshold = float(m.max()) / 2.0
     ys, xs = np.nonzero(m > threshold)
     if ys.size == 0:
         raise ValueError("mask is empty; cannot derive a face box")

@@ -434,7 +434,22 @@ class Trainer:
         if not hasattr(self, "_vis_probe"):
             rng = np.random.default_rng([self.cfg.train.seed, 7123])
             self._vis_probe = self.data.sample_batch(rng, 1)
+            # Resumed runs keep their earlier gallery rows: rebuild them from
+            # the epoch directories already on disk (losses of past epochs
+            # are not re-derived).
             self._vis_rows = []
+            vis_root = os.path.join(self.workdir, "visuals")
+            if os.path.isdir(vis_root):
+                for name in sorted(os.listdir(vis_root)):
+                    if not name.startswith("epoch_"):
+                        continue
+                    row = {"epoch": int(name.split("_")[1])}
+                    for kind in ("input", "albedo", "depth", "shadow",
+                                 "rendered"):
+                        p = os.path.join(vis_root, name, f"{kind}.png")
+                        if os.path.exists(p):
+                            row[kind] = p
+                    self._vis_rows.append(row)
             model = RelightNet(cfg=self.cfg.model)
             rcfg = self.cfg.render
 
@@ -471,8 +486,12 @@ class Trainer:
             imageio.imwrite(path, arr)
             return path
 
-        depth = np.asarray(out.depth[0])
-        depth01 = (depth - depth.min()) / max(depth.max() - depth.min(), 1e-6)
+        from geomconsistentfr_tpu.utils.io import depth_visualization
+
+        # Same -depth min-max convention as the eval dumps (near = bright).
+        depth01 = depth_visualization(
+            np.asarray(out.depth[0]), np.asarray(probe["face_mask"][0])
+        )
         row = {
             "epoch": epoch,
             "input": put("input", probe["image"][0]),

@@ -99,17 +99,10 @@ def read_mask(path: str, size: int = 256) -> np.ndarray:
 
 def write_image(path: str, img01: np.ndarray) -> None:
     """Write a float image in [0, 1] (H, W[, C]) as an 8-bit PNG."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     arr = np.clip(np.asarray(img01, np.float32) * 255.0, 0.0, 255.0).astype(
         np.uint8
     )
-    if _cv2 is not None:
-        bgr = arr[..., ::-1] if arr.ndim == 3 and arr.shape[-1] == 3 else arr
-        if _cv2.imwrite(path, bgr):
-            return
-    import imageio.v2 as imageio
-
-    imageio.imwrite(path, arr)
+    write_image_u8(path, arr)
 
 
 def composite_into_original(

@@ -179,3 +179,25 @@ def test_uint8_inputs_match_float_path(small_relighter):
     u_u, a_u = small_relighter.estimate_lighting(img_u8)
     np.testing.assert_allclose(u_f, u_u, atol=1e-6)
     np.testing.assert_allclose(a_f, a_u, atol=1e-6)
+
+
+def test_sweep_accepts_uint8_inputs(small_relighter):
+    """relight_sweep(_rendered_u8) honors the uint8-input convention."""
+    rng = np.random.default_rng(13)
+    img_u8 = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    mask_u8 = (rng.uniform(size=(64, 64)) > 0.3).astype(np.uint8) * 255
+    lights = np.array([[0.69, 0.4, 0.6], [-0.76, 0.0, 0.65]], np.float32)
+
+    t_f = np.asarray(small_relighter.relight_sweep_rendered_u8(
+        img_u8.astype(np.float32) / 255.0, mask_u8.astype(np.float32) / 255.0,
+        lights))
+    t_u = np.asarray(small_relighter.relight_sweep_rendered_u8(
+        img_u8, mask_u8, lights))
+    assert np.abs(t_f.astype(int) - t_u.astype(int)).max() <= 1
+
+    out_f = small_relighter.relight_sweep(
+        img_u8.astype(np.float32) / 255.0, mask_u8.astype(np.float32) / 255.0,
+        lights)
+    out_u = small_relighter.relight_sweep(img_u8, mask_u8, lights)
+    np.testing.assert_allclose(
+        np.asarray(out_f.rendered), np.asarray(out_u.rendered), atol=2e-4)

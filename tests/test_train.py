@@ -340,3 +340,10 @@ def test_trainer_visualize_writes_gallery(tmp_path):
     assert "epoch_0000" in html and "epoch_0001" in html
     for name in ("input", "albedo", "depth", "shadow", "rendered"):
         assert os.path.exists(tmp_path / "visuals" / "epoch_0001" / f"{name}.png")
+
+    # A resumed run (fresh Trainer over the same workdir) keeps prior rows.
+    trainer2 = train_mod.Trainer(cfg, data=data, workdir=str(tmp_path))
+    trainer2.visualize(state, epoch=2)
+    html = open(index).read()
+    for tag in ("epoch_0000", "epoch_0001", "epoch_0002"):
+        assert tag in html, tag

@@ -9,6 +9,7 @@ reference runs one image at a time on a GPU
 
 Usage:
     python tools/bench_eval_protocol.py [--images 862] [--batch 16] [--fast]
+Strict f32 by default (repo convention); --fast opts into bf16 fast mode.
 Prints one JSON line. TPU-exclusive: never run concurrently with other
 device work.
 """
@@ -29,8 +30,10 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--images", type=int, default=862)
     parser.add_argument("--batch", type=int, default=16)
-    parser.add_argument("--fast", action="store_true", default=True)
-    parser.add_argument("--strict", dest="fast", action="store_false")
+    parser.add_argument("--fast", action="store_true",
+                        help="bf16 CNN + fast shadow matmuls; default strict f32")
+    parser.add_argument("--strict", dest="fast", action="store_false",
+                        help="(default)")
     parser.add_argument("--keep", default=None, help="keep outputs here")
     args = parser.parse_args()
 
