@@ -1,8 +1,14 @@
 """Border-artifact postprocessing (port of fix_border_artifacts_CVPR2022.m).
 
 Median-filters rendered pixels on the face/background seam: pixels where the
-7x7 box sum of the (0..1) face mask is in (0, 30) are replaced by the 3x3
+7x7 box sum of the binarized face mask is in (0, 30) are replaced by the 3x3
 median of the rendered image (zero-padded, MATLAB medfilt2/imfilter defaults).
+
+MATLAB divides the *uint8* mask before the box sum
+(``imread(...)/255.0``, fix_border_artifacts_CVPR2022.m:5) — integer
+division in MATLAB rounds to nearest, so the mask entering ``imfilter`` is
+exactly {0, 1} (values >= 128 -> 1) even for anti-aliased masks. The port
+reproduces that by thresholding the (0..1) mask at 0.5 before summing.
 """
 
 from __future__ import annotations
@@ -41,7 +47,10 @@ def fix_border_artifacts(image: np.ndarray, face_mask: np.ndarray) -> np.ndarray
     filtered = np.stack(
         [_median3x3_zero_pad(work[..., c]) for c in range(work.shape[-1])], axis=-1
     )
-    conv = _boxsum7_zero_pad(np.asarray(face_mask, np.float64))
+    # MATLAB's uint8 division rounds the mask to exact {0,1} before the box
+    # sum; >= 0.5 matches its round-half-away-from-zero on the 0.5 boundary.
+    binarized = (np.asarray(face_mask, np.float64) >= 0.5).astype(np.float64)
+    conv = _boxsum7_zero_pad(binarized)
     border = (conv > 0) & (conv < 30)
     out = work.copy()
     out[border] = filtered[border]

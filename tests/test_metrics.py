@@ -76,6 +76,50 @@ def test_fix_border_artifacts_median_semantics():
     np.testing.assert_array_equal(out[~border], img[~border])
 
 
+def test_fix_border_fractional_mask_matches_matlab_rounding():
+    """Anti-aliased masks must be binarized (MATLAB uint8 division rounds).
+
+    fix_border_artifacts_CVPR2022.m:5 computes imread(mask)/255.0 on a uint8
+    array: MATLAB integer division rounds to nearest, so fractional
+    (anti-aliased) mask values become exact {0,1} BEFORE the 7x7 box sum.
+    Summing the raw fractional mask instead selects a different border set.
+    """
+    from scipy import ndimage
+
+    rng = np.random.default_rng(7)
+    img = (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8)
+    # Anti-aliased ramp edge: values in (0, 1) along the mask boundary.
+    mask = np.zeros((32, 32))
+    mask[8:24, 8:24] = 1.0
+    mask[7, 8:24] = 0.6   # rounds to 1 in MATLAB
+    mask[24, 8:24] = 0.4  # rounds to 0 in MATLAB
+    mask[6, 8:24] = 0.49  # rounds to 0
+    mask[25, 8:24] = 0.5  # MATLAB round-half-away-from-zero -> 1
+
+    out = fix_border_artifacts(img, mask)
+
+    rounded = (mask >= 0.5).astype(np.float64)
+    conv = ndimage.correlate(rounded, np.ones((7, 7)), mode="constant", cval=0.0)
+    border = (conv > 0) & (conv < 30)
+    # The fractional and rounded box sums must genuinely disagree somewhere,
+    # otherwise this test wouldn't pin the semantics.
+    conv_frac = ndimage.correlate(mask, np.ones((7, 7)), mode="constant", cval=0.0)
+    border_frac = (conv_frac > 0) & (conv_frac < 30)
+    assert (border != border_frac).any()
+
+    med = np.stack(
+        [
+            ndimage.median_filter(
+                img[..., c].astype(np.float64), size=3, mode="constant", cval=0
+            )
+            for c in range(3)
+        ],
+        axis=-1,
+    )
+    np.testing.assert_array_equal(out[border], med.astype(np.uint8)[border])
+    np.testing.assert_array_equal(out[~border], img[~border])
+
+
 def test_fix_border_no_mask_is_identity():
     rng = np.random.default_rng(4)
     img = (rng.uniform(size=(16, 16, 3)) * 255).astype(np.uint8)
