@@ -71,7 +71,7 @@ def test_visualize_lighting_matches_reference_spheres(tmp_path):
     r = _run(["visualize-lighting", "--out", str(tmp_path)])
     assert r.returncode == 0, r.stderr
     info = json.loads(r.stdout.strip().splitlines()[-1])
-    assert info["count"] == 11
+    assert info["count"] == 21  # 18 Multi-PIE flashes + 3 azimuth/elevation
 
     pairs = {
         "multipie_14": "Multi-PIE_lighting_14.png",
