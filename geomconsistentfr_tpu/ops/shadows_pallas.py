@@ -22,8 +22,9 @@ so the kernel reformulates the lookup as structured matmuls:
 
 All tensors stay in VMEM; reshapes only collapse/split sublane-major dims
 (free relayouts). Grid = (batch, row-tiles); the sample steps run in a
-fori_loop carrying the running min (the argmin offset t* is carried and
-stored only when the training path asks for it). Matmul precision is
+fori_loop carrying the running min (the training path additionally carries
+the winning sample's compact int32 index; the wrapper recovers the exact
+f32 t* from the sample table outside the kernel). Matmul precision is
 configurable via RenderConfig.shadow_matmul_precision: 'highest' (true
 f32, bit-close parity) or 'default' (bf16 passes, faster, ~1e-3 relative
 depth error); tiling via shadow_tile_rows/shadow_slab_rows.
@@ -368,7 +369,7 @@ def _march_kernel(
         n2 = cx * cx + cy * cy + cz * cz
         return jnp.where(on_face == 0.0, _OFF_FACE_N2, n2)
 
-    def store_slab(k, min_n2, t_star, denom):
+    def store_slab(k, min_n2, s_star, denom):
         min_d = jnp.sqrt(min_n2 + _EPS) / denom
         # Off-face sentinel: reproduce the exact 1e6 constant (:490).
         min_d = jnp.where(min_n2 >= _OFF_FACE_N2, _OFF_FACE, min_d)
@@ -378,10 +379,15 @@ def _march_kernel(
             )
         out_ref[0, k * sub : (k + 1) * sub, :] = min_d
         if tstar_ref is not None:
-            tstar_ref[0, k * sub : (k + 1) * sub, :] = t_star
+            tstar_ref[0, k * sub : (k + 1) * sub, :] = s_star
 
+    # The argmin carry is the compact int32 SAMPLE INDEX, not the f32 t value
+    # (the wrapper looks t up in the sample_ts table afterwards — exact, the
+    # stored t is the identical f32 constant). The int chain (iota compare +
+    # select) is also cheaper for Mosaic to schedule than carrying a second
+    # f32 plane through the min loop.
     init_min = jnp.full((sub, w), jnp.inf, jnp.float32)
-    init_t = jnp.zeros((sub, w), jnp.float32)
+    init_t = jnp.zeros((sub, w), jnp.int32)
 
     if cfg.shadow_slab_interleave and n_sub > 1:
         # All slabs advance inside ONE step loop: the per-slab dependency
@@ -397,10 +403,10 @@ def _march_kernel(
                 if tstar_ref is None:
                     out.append(jnp.minimum(carry[k], n2))
                 else:
-                    min_acc, tbest = carry[k]
+                    min_acc, sbest = carry[k]
                     out.append(
                         (jnp.minimum(min_acc, n2),
-                         jnp.where(n2 < min_acc, t, tbest))
+                         jnp.where(n2 < min_acc, s, sbest))
                     )
             return tuple(out)
 
@@ -424,10 +430,10 @@ def _march_kernel(
                 n2 = sample_n2(c, t)
                 if tstar_ref is None:
                     return jnp.minimum(carry, n2)
-                min_acc, tbest = carry
+                min_acc, sbest = carry
                 return (
                     jnp.minimum(min_acc, n2),
-                    jnp.where(n2 < min_acc, t, tbest),
+                    jnp.where(n2 < min_acc, s, sbest),
                 )
 
             if tstar_ref is None:
@@ -436,11 +442,11 @@ def _march_kernel(
                 )
                 store_slab(k, min_n2, None, c["denom"])
             else:
-                min_n2, t_star = jax.lax.fori_loop(
+                min_n2, s_star = jax.lax.fori_loop(
                     0, ts_ref.shape[0], step, (init_min, init_t),
                     unroll=unroll,
                 )
-                store_slab(k, min_n2, t_star, c["denom"])
+                store_slab(k, min_n2, s_star, c["denom"])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -603,20 +609,32 @@ def ray_march_min_distance_pallas(
         ]
 
     # The argmin offset t* is only produced for the training path; inference
-    # skips its carry/select/store entirely.
-    n_out = 2 if return_argmin_t else 1
+    # skips its carry/select/store entirely. The kernel emits the compact
+    # int32 sample INDEX; the f32 t value is recovered here from the sample
+    # table (exact — the same f32 constant the kernel read from SMEM).
+    out_shapes = [jax.ShapeDtypeStruct((b + 1, h, w), jnp.float32)]
+    if return_argmin_t:
+        out_shapes.append(jax.ShapeDtypeStruct((b + 1, h, w), jnp.int32))
     # Outputs are padded by one image as well (same pipeline-lookahead
     # workaround as the inputs); the grid never visits the pad.
     outs = pl.pallas_call(
         kernel,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((b + 1, h, w), jnp.float32) for _ in range(n_out)
-        ),
+        out_shape=tuple(out_shapes),
         grid=(b, n_tiles),
         in_specs=in_specs,
-        out_specs=tuple(tile_block for _ in range(n_out)),
+        out_specs=tuple(tile_block for _ in range(len(out_shapes))),
         interpret=interpret,
+        # Mosaic's default scoped-VMEM cap is a conservative 16 MB; the
+        # strict+argmin kernel at 8-row slabs needs ~17.2 MB of scoped
+        # stack (HIGHEST-precision matmul operand expansions), well within
+        # v5e's physical 128 MB VMEM. Grid cells are independent
+        # (batch x row-tiles), so both dimensions are parallel.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel"),
+        ),
     )(*inputs)
     if return_argmin_t:
-        return outs[0][:b], outs[1][:b]
+        t_star = jnp.asarray(ts[:, 0])[outs[1][:b]]
+        return outs[0][:b], t_star
     return outs[0][:b]

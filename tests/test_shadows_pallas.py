@@ -103,6 +103,12 @@ def test_argmin_t_output(monkeypatch):
     close = np.isclose(re_eval, got_min, atol=1e-3)
     assert close.mean() > 0.999
 
+    # The kernel carries the compact int32 sample INDEX and the wrapper
+    # looks t up in the sample table: every returned t* must be bitwise
+    # equal to one of the sample_ts constants (no arithmetic on t).
+    table = S.sample_ts(cfg).astype(np.float32)
+    assert np.isin(np.asarray(t_star).ravel(), table).all()
+
 
 def test_custom_vjp_matches_pure_jax_grad(monkeypatch):
     """Gradient through the Pallas wrapper == gradient of the pure-JAX march."""
