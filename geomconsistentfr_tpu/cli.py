@@ -37,18 +37,24 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--out", default="outputs", help="output directory")
     p.add_argument(
+        "--precision",
+        choices=["strict", "high", "fast"],
+        default=None,
+        help="serving precision tier: 'strict' = true-f32 shadow matmuls + "
+        "f32 CNN (bit-close parity); 'high' = bf16x3-split shadow matmuls + "
+        "f32 CNN (parity-grade, much faster march); 'fast' = bf16 CNN + "
+        "single-pass bf16 matmuls + bilinear veto (max throughput, golden "
+        "parity >=50 dB). Default strict.",
+    )
+    p.add_argument(
         "--fast",
         action="store_true",
-        help="production-serving precision: bfloat16 CNN activations + fast "
-        "shadow-kernel matmuls (the bench.py fast mode; ~2x throughput, "
-        "golden parity stays >50 dB). Default is strict float32.",
+        help="alias for --precision fast",
     )
 
 
 def _relighter(args, default_preset: str):
-    import dataclasses
-
-    from geomconsistentfr_tpu.config import PRESETS, load_config
+    from geomconsistentfr_tpu.config import PRESETS, apply_precision_tier, load_config
     from geomconsistentfr_tpu.infer import load_relighter
 
     preset = args.preset or default_preset
@@ -56,14 +62,13 @@ def _relighter(args, default_preset: str):
         cfg = load_config(args.config, preset=preset)
     else:
         cfg = PRESETS[preset]()
+    tier = getattr(args, "precision", None)
     if getattr(args, "fast", False):
-        cfg = dataclasses.replace(
-            cfg,
-            model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
-            render=dataclasses.replace(
-                cfg.render, shadow_matmul_precision="default"
-            ),
-        )
+        if tier and tier != "fast":
+            raise SystemExit("--fast conflicts with --precision " + tier)
+        tier = "fast"
+    if tier:
+        cfg = apply_precision_tier(cfg, tier)
     mesh = None
     if getattr(args, "data_parallel", False):
         from geomconsistentfr_tpu.parallel.mesh import make_mesh

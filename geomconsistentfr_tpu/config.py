@@ -374,6 +374,35 @@ PRESETS = {
 
 
 # ---------------------------------------------------------------------------
+# Precision tiers (serving knob shared by CLI / server / bench)
+# ---------------------------------------------------------------------------
+
+# One serving-precision axis instead of scattered flag combinations:
+#   'strict'  float32 CNN activations + true-f32 shadow matmuls (HIGHEST).
+#             Bit-close parity; the mode the parity suite certifies.
+#   'high'    float32 CNN activations + the bf16x3-split shadow matmuls
+#             (~2^-18 relative gather error — parity-grade at a fraction of
+#             the strict march cost; see docs/BENCH_r04_high.json).
+#   'fast'    bfloat16 CNN activations + single-pass bf16 shadow matmuls
+#             and the bilinear mask veto (max throughput; golden parity
+#             stays >= 50 dB on the bundled fixtures).
+PRECISION_TIERS = ("strict", "high", "fast")
+
+
+def apply_precision_tier(cfg: "PipelineConfig", tier: str) -> "PipelineConfig":
+    """Return cfg with the given serving-precision tier applied."""
+    if tier not in PRECISION_TIERS:
+        raise ValueError(f"unknown precision tier: {tier!r} (use one of {PRECISION_TIERS})")
+    shadow = {"strict": "highest", "high": "high", "fast": "default"}[tier]
+    compute = "bfloat16" if tier == "fast" else "float32"
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, compute_dtype=compute),
+        render=dataclasses.replace(cfg.render, shadow_matmul_precision=shadow),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Serialisation (CLI --config files; the reference hard-codes everything)
 # ---------------------------------------------------------------------------
 

@@ -342,28 +342,28 @@ def main(argv=None) -> int:
                         help="micro-batch size for coalesced /relight requests")
     parser.add_argument("--batch-window-ms", type=float, default=4.0,
                         help="how long to wait for more requests after the first")
+    parser.add_argument("--precision", choices=["strict", "high", "fast"],
+                        default=None,
+                        help="serving precision tier (see config.PRECISION_TIERS); "
+                        "default strict")
     parser.add_argument("--fast", action="store_true",
-                        help="bf16 CNN + fast shadow matmuls (~2x throughput, "
-                        "golden parity >50 dB); default strict f32")
+                        help="alias for --precision fast")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard device batches across all visible chips "
                         "(--max-batch must be a multiple of the chip count)")
     args = parser.parse_args(argv)
 
-    import dataclasses
-
-    from geomconsistentfr_tpu.config import PRESETS
+    from geomconsistentfr_tpu.config import PRESETS, apply_precision_tier
     from geomconsistentfr_tpu.infer import load_relighter
 
     cfg = PRESETS[args.preset]()
+    tier = args.precision
     if args.fast:
-        cfg = dataclasses.replace(
-            cfg,
-            model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
-            render=dataclasses.replace(
-                cfg.render, shadow_matmul_precision="default"
-            ),
-        )
+        if tier and tier != "fast":
+            parser.error("--fast conflicts with --precision " + tier)
+        tier = "fast"
+    if tier:
+        cfg = apply_precision_tier(cfg, tier)
     mesh = None
     if args.data_parallel:
         from geomconsistentfr_tpu.parallel.mesh import make_mesh

@@ -86,3 +86,22 @@ def test_render_config_rejects_odd_dimensions():
     with pytest.raises(ValueError, match="even"):
         RenderConfig(img_height=64, img_width=63)
     RenderConfig(img_height=64, img_width=64)  # fine
+
+
+def test_apply_precision_tier():
+    import pytest
+
+    from geomconsistentfr_tpu import config as C
+
+    base = C.preset_single_image()
+    strict = C.apply_precision_tier(base, "strict")
+    assert strict.render.shadow_matmul_precision == "highest"
+    assert strict.model.compute_dtype == "float32"
+    high = C.apply_precision_tier(base, "high")
+    assert high.render.shadow_matmul_precision == "high"
+    assert high.model.compute_dtype == "float32"
+    fast = C.apply_precision_tier(base, "fast")
+    assert fast.render.shadow_matmul_precision == "default"
+    assert fast.model.compute_dtype == "bfloat16"
+    with pytest.raises(ValueError, match="unknown precision tier"):
+        C.apply_precision_tier(base, "turbo")

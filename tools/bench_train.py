@@ -27,14 +27,32 @@ def main() -> None:
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     cfg = preset_target_lighting_train()
-    if os.environ.get("GCFR_FAST") == "1":
-        import dataclasses
+    import dataclasses
 
+    if os.environ.get("GCFR_FAST") == "1":
         cfg = dataclasses.replace(
             cfg,
             model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
             render=dataclasses.replace(
                 cfg.render, shadow_matmul_precision="default"
+            ),
+        )
+    if os.environ.get("GCFR_PRECISION"):
+        # 'highest' | 'high' | 'default' shadow matmul precision A/B knob.
+        cfg = dataclasses.replace(
+            cfg,
+            render=dataclasses.replace(
+                cfg.render,
+                shadow_matmul_precision=os.environ["GCFR_PRECISION"],
+            ),
+        )
+    if os.environ.get("GCFR_SHADOW_SLAB"):
+        # Slab-size A/B knob (0 = auto).
+        cfg = dataclasses.replace(
+            cfg,
+            render=dataclasses.replace(
+                cfg.render,
+                shadow_slab_rows=int(os.environ["GCFR_SHADOW_SLAB"]),
             ),
         )
 
