@@ -47,6 +47,71 @@ def test_trainstate_resume(tmp_path):
     assert ckpt.latest_step_dir(str(tmp_path)) == path
 
 
+def test_sharded_trainstate_restore_onto_fresh_mesh(tmp_path):
+    """Save a mesh-resident TrainState mid-training, restore onto a FRESH
+    mesh, and assert the next data-parallel step's metrics match the
+    uninterrupted run exactly (the restart path of a real pod run)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from geomconsistentfr_tpu import train as train_mod
+    from geomconsistentfr_tpu.config import preset_target_lighting_train
+    from geomconsistentfr_tpu.parallel.mesh import (
+        device_put_sharded_batch,
+        make_mesh,
+    )
+    from geomconsistentfr_tpu.utils import checkpoint as ckpt
+
+    n = 2
+    devices = jax.devices()[:n]
+    size = 32
+    cfg = preset_target_lighting_train()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=size, img_width=size,
+            num_sample_points=8, t_stop=0.065, march_chunk=8,
+            use_pallas_shadows=False,
+        ),
+        train=dataclasses.replace(cfg.train, batch_size=n),
+    )
+    mesh = make_mesh(devices)
+    state = train_mod.init_state(cfg, jax.random.PRNGKey(0), batch_size=n)
+    step_fn = train_mod.make_data_parallel_step(cfg, mesh)
+
+    rng = np.random.default_rng(0)
+    batch = device_put_sharded_batch(
+        {
+            "image": rng.uniform(0, 1, (n, size, size, 3)).astype(np.float32),
+            "face_mask": np.ones((n, size, size), np.float32),
+            "depth_gt": rng.normal(size=(n, size, size)).astype(np.float32),
+            "depth_mask": np.ones((n, size, size), np.float32),
+            "albedo_gt": rng.uniform(0, 1, (n, size, size)).astype(np.float32),
+            "light_gt": np.tile(
+                np.asarray([[0.0, 0.7071, 0.7071]], np.float32), (n, 1)
+            ),
+        },
+        mesh,
+    )
+    gates = (False, False, False, False)
+    state, _ = step_fn(state, batch, gates)
+
+    path = str(tmp_path / "step_00000001")
+    ckpt.save_variables(path, state)
+    restored_host = ckpt.restore_variables(path, template=jax.device_get(state))
+
+    mesh2 = make_mesh(devices)
+    restored = jax.device_put(restored_host, NamedSharding(mesh2, P()))
+    step_fn2 = train_mod.make_data_parallel_step(cfg, mesh2)
+
+    _, metrics_cont = step_fn(state, batch, gates)
+    _, metrics_resumed = step_fn2(restored, batch, gates)
+    metrics_cont = jax.device_get(metrics_cont)
+    metrics_resumed = jax.device_get(metrics_resumed)
+    assert metrics_cont.keys() == metrics_resumed.keys()
+    for k in metrics_cont:
+        assert float(metrics_cont[k]) == float(metrics_resumed[k]), k
+
+
 def test_prune_step_dirs(tmp_path):
     import os
 
