@@ -41,10 +41,12 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
         choices=["strict", "high", "fast"],
         default=None,
         help="serving precision tier: 'strict' = true-f32 shadow matmuls + "
-        "f32 CNN (bit-close parity); 'high' = bf16x3-split shadow matmuls + "
-        "f32 CNN (parity-grade, much faster march); 'fast' = bf16 CNN + "
-        "single-pass bf16 matmuls + bilinear veto (max throughput, golden "
-        "parity >=50 dB). Default strict.",
+        "f32 CNN (bit-close parity, the parity-suite mode); 'high' = "
+        "bf16x3-split shadow matmuls + f32 CNN (matches strict on every "
+        "golden fixture at +12%% throughput, docs/PARITY_matrix.json); "
+        "'fast' = bf16 CNN + single-pass bf16 matmuls + bilinear veto (max "
+        "throughput, golden parity >=46 dB). Default: high (strict when "
+        "--config is given, so explicit precision overrides are honoured).",
     )
     p.add_argument(
         "--fast",
@@ -67,6 +69,11 @@ def _relighter(args, default_preset: str):
         if tier and tier != "fast":
             raise SystemExit("--fast conflicts with --precision " + tier)
         tier = "fast"
+    if tier is None and not getattr(args, "config", None):
+        # Default serving tier: 'high' matches strict parity on every golden
+        # fixture at +12% throughput (docs/BENCH_r04_high.json). When a
+        # --config file is given, leave its precision fields untouched.
+        tier = "high"
     if tier:
         cfg = apply_precision_tier(cfg, tier)
     mesh = None
