@@ -353,5 +353,9 @@ def load_relighter(
         from geomconsistentfr_tpu.convert import transfer_to_target_variant
 
         variables = transfer_to_target_variant(variables)
-    variables = jax.tree.map(jnp.asarray, variables)
+    # Packed upload: per-leaf transfers pay a tunnel round trip per leaf
+    # (391 checkpoint tensors ~= 2 min of pure latency at CLI startup).
+    from geomconsistentfr_tpu.utils.transfer import pack_device_put
+
+    variables = pack_device_put(variables)
     return Relighter(cfg, variables, use_skips=use_skips, mesh=mesh)
