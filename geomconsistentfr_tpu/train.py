@@ -100,6 +100,30 @@ def init_state(
     return jax.jit(build)(rng)
 
 
+def decode_batch(batch: Dict[str, Array]) -> Dict[str, Array]:
+    """Expand a stored-dtype batch to the f32 training schema (traceable).
+
+    Batch sources serve uint8 for the fields the cache stores as uint8
+    (image, masks, albedo — data/celebahq.py FIELDS) so the host->device
+    transfer moves 2.8x fewer bytes; the /255 happens on device, inside the
+    train step, where XLA fuses it into the first consumers. Values match
+    CelebAHQRelightingData.get_batch's host-side `.astype(np.float32)/255.0`
+    to within 1 ulp (XLA may rewrite the array divide to reciprocal+mul; an
+    exact 256-entry lookup table was measured and rejected — it lowers to a
+    generic TPU gather costing ~50 ms/batch-16 vs the divide's ~0).
+    Float fields pass through, so f32 sources (SyntheticFaceData) and the
+    f32 test batches are a no-op.
+    """
+    return {
+        k: v.astype(jnp.float32) / 255.0 if v.dtype == jnp.uint8 else v
+        for k, v in batch.items()
+    }
+
+
+# Standalone (eager/device) form, for callers outside a jit.
+_decode_device_batch = jax.jit(decode_batch)
+
+
 def _train_step(
     state: TrainState,
     batch: Dict[str, Array],
@@ -329,7 +353,16 @@ class Trainer:
         return path
 
     def _device_prefetch(self, batches, depth: int = 2):
-        """Double-buffer host->device transfers ahead of the consuming step."""
+        """Double-buffer host->device transfers ahead of the consuming step.
+
+        Single-device batches go through utils/transfer.pack_device_put: one
+        buffer per dtype group instead of one transfer per field. Over the
+        axon tunnel each device_put call pays ~60 ms of fixed overhead, so
+        the 6-field f32 batch costs ~0.42 s serialized (more than the whole
+        0.18 s fast train step at batch 3); packed uint8+f32 is ~0.11 s and
+        hides fully behind compute. The DP path keeps per-field sharded puts
+        (real pods move batches over NICs, not this tunnel).
+        """
         from collections import deque
 
         if self.mesh.devices.size > 1:
@@ -338,18 +371,18 @@ class Trainer:
             def put(b):
                 return device_put_sharded_batch(b, self.mesh)
         else:
-            device = self.mesh.devices.flat[0]
+            from geomconsistentfr_tpu.utils.transfer import pack_device_put
 
             def put(b):
-                return jax.device_put(b, device)
+                return pack_device_put(b)
 
         queue = deque()
         for b in batches:
             queue.append(put(b))
             if len(queue) >= depth:
-                yield queue.popleft()
+                yield _decode_device_batch(queue.popleft())
         while queue:
-            yield queue.popleft()
+            yield _decode_device_batch(queue.popleft())
 
     def run_epoch(
         self,
@@ -389,6 +422,15 @@ class Trainer:
         # Reference epoch structure when the dataset supports it: shuffled
         # contiguous batch slots, first batches_per_epoch visited
         # (train_*.py:578,593,606); otherwise i.i.d. sampling.
+        # Prefer the provider's stored-dtype batches (uint8 images/masks):
+        # _decode_device_batch restores the f32 schema on device and the
+        # upload moves 2.8x fewer bytes. f32-only providers work unchanged.
+        get_batch = getattr(self.data, "get_batch_raw", None) or getattr(
+            self.data, "get_batch", None
+        )
+        sample_batch = getattr(
+            self.data, "sample_batch_raw", self.data.sample_batch
+        )
         if hasattr(self.data, "epoch_batch_indices"):
             index_iter = self.data.epoch_batch_indices(
                 rng, tcfg.batch_size, tcfg.batches_per_epoch
@@ -396,10 +438,10 @@ class Trainer:
             # Fast-forward within the epoch at the index level (no IO).
             if start_batch:
                 index_iter = itertools.islice(index_iter, start_batch, None)
-            batches = (self.data.get_batch(idx) for idx in index_iter)
+            batches = (get_batch(idx) for idx in index_iter)
         else:
             batches = (
-                self.data.sample_batch(rng, tcfg.batch_size)
+                sample_batch(rng, tcfg.batch_size)
                 for _ in range(tcfg.batches_per_epoch)
             )
             # sample_batch consumes the rng per draw; drawing and discarding
@@ -407,21 +449,29 @@ class Trainer:
             if start_batch:
                 batches = itertools.islice(batches, start_batch, None)
         # Async device prefetch: start batch k+1's host->device transfer while
-        # step k executes (device_put returns immediately). Measured on the
-        # axon tunnel: the per-step numpy upload otherwise costs ~0.25 s of
-        # the 0.49 s train step at batch 3.
+        # step k executes (device_put returns immediately).
         batches = self._device_prefetch(batches)
 
-        logged = 0
+        # Metrics are collected asynchronously: a blocking per-step fetch
+        # costs a ~0.3 s tunnel round trip — more than the step itself.
+        # copy_to_host_async starts the tiny scalar copies immediately; the
+        # values materialize in one device_get at epoch end. A scalar fetch
+        # every _SYNC_EVERY steps bounds how far dispatch runs ahead of the
+        # device (block_until_ready is async under axon, so only a fetch
+        # gives real backpressure) and surfaces NaNs/errors near their step.
+        _SYNC_EVERY = 8
+        pending: list = []
         with profile_ctx:
             for j, batch in enumerate(batches):
                 pos = start_batch + j + 1  # 1-based position within the epoch
                 state, metrics = self.step_fn(state, batch, use_skips)
                 if pos % tcfg.log_every_steps == 0:
-                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                    for k, v in m.items():
-                        sums[k] = sums.get(k, 0.0) + v
-                    logged += 1
+                    for leaf in jax.tree.leaves(metrics):
+                        if hasattr(leaf, "copy_to_host_async"):
+                            leaf.copy_to_host_async()
+                    pending.append(metrics)
+                if (pos - start_batch) % _SYNC_EVERY == 0:
+                    float(metrics["total"])
                 # Step-level checkpointing (the reference can only save at
                 # epoch end and cannot resume at all, train_*.py:684-685).
                 if (
@@ -430,6 +480,10 @@ class Trainer:
                     and pos < tcfg.batches_per_epoch
                 ):
                     self.save(state)
+        logged = len(pending)
+        for m in jax.device_get(pending):
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
         elapsed = time.time() - t0
         avg = {k: v / max(logged, 1) for k, v in sums.items()}
         avg["epoch"] = epoch
@@ -455,7 +509,13 @@ class Trainer:
 
         if not hasattr(self, "_vis_probe"):
             rng = np.random.default_rng([self.cfg.train.seed, 7123])
-            self._vis_probe = self.data.sample_batch(rng, 1)
+            probe = self.data.sample_batch(rng, 1)
+            # Raw-dtype sources (uint8 images/masks) expand on host here —
+            # the probe is tiny and rendered once per epoch.
+            self._vis_probe = {
+                k: v.astype(np.float32) / 255.0 if v.dtype == np.uint8 else v
+                for k, v in probe.items()
+            }
             # Resumed runs keep their earlier gallery rows: rebuild them from
             # the epoch directories already on disk (losses of past epochs
             # are not re-derived).

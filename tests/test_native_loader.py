@@ -141,3 +141,63 @@ def test_native_jpeg_batch_and_errors(tmp_path):
         native_loader.decode_jpeg(str(tmp_path / "missing.jpg"), 256, 256, 3)
     with pytest.raises(ValueError, match="failed"):
         native_loader.decode_jpegs([paths[0], p_bad], 256, 256, 3)
+
+
+def test_raw_batch_and_device_decode_match_f32_path(tiny_cache):
+    """get_batch_raw (stored dtypes) + the trainer's on-device decode must
+    reproduce get_batch's f32 schema to within 1 ulp (XLA may lower the /255
+    to reciprocal+multiply — the documented decode_batch contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geomconsistentfr_tpu import train as train_mod
+    from geomconsistentfr_tpu.data import CelebAHQRelightingData
+
+    ref = CelebAHQRelightingData(tiny_cache)
+    idx = np.arange(3)
+    raw = ref.get_batch_raw(idx)
+    assert raw["image"].dtype == np.uint8
+    assert raw["face_mask"].dtype == np.uint8
+    assert raw["depth_gt"].dtype == np.float32
+    decoded = jax.device_get(
+        train_mod._decode_device_batch(
+            {k: jnp.asarray(v) for k, v in raw.items()}
+        )
+    )
+    want = ref.get_batch(idx)
+    for k in want:
+        assert decoded[k].dtype == np.float32, k
+        err = np.abs(decoded[k].astype(np.float64) - want[k])
+        assert (err <= np.spacing(np.abs(want[k]))).all(), k
+        # Float-through fields (depth, light) must be untouched.
+        if raw[k].dtype == np.float32:
+            np.testing.assert_array_equal(decoded[k], want[k], err_msg=k)
+
+
+def test_native_raw_matches_memmaps(tiny_cache):
+    """The native loader's raw mode streams the stored bytes untouched."""
+    from geomconsistentfr_tpu.data import CelebAHQRelightingData
+    from geomconsistentfr_tpu.data.native_loader import NativeCelebAHQLoader
+
+    ref = CelebAHQRelightingData(tiny_cache)
+    loader = NativeCelebAHQLoader(
+        tiny_cache, batch_size=2, seed=3, workers=1, raw=True
+    )
+    batch = loader.next_batch_raw()
+    assert batch["image"].dtype == np.uint8
+    # Identify which slot the native loader served by matching light_gt rows.
+    want_all = ref.get_batch_raw(np.arange(8))
+    row = batch["light_gt"][0]
+    matches = np.where(
+        (np.abs(want_all["light_gt"] - row) < 1e-6).all(axis=1)
+    )[0]
+    assert len(matches) == 1
+    s = int(matches[0])
+    want = ref.get_batch_raw(np.arange(s, s + 2))
+    for key in batch:
+        assert batch[key].dtype == want[key].dtype, key
+        np.testing.assert_array_equal(batch[key], want[key], err_msg=key)
+    # Mode guards: the f32 API is refused on a raw loader.
+    with pytest.raises(AssertionError):
+        loader.next_batch()
+    loader.close()

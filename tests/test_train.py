@@ -347,3 +347,22 @@ def test_trainer_visualize_writes_gallery(tmp_path):
     html = open(index).read()
     for tag in ("epoch_0000", "epoch_0001", "epoch_0002"):
         assert tag in html, tag
+
+
+def test_decode_device_batch_matches_host_scaling():
+    """The on-device u8 -> f32/255 expansion equals the host
+    `.astype(np.float32)/255.0` (CelebAHQRelightingData.get_batch) to within
+    1 ulp for every uint8 value (XLA may lower the divide to
+    reciprocal+multiply); float fields pass through untouched."""
+    u8 = np.arange(256, dtype=np.uint8).reshape(1, 16, 16)
+    f32 = np.random.default_rng(0).normal(size=(1, 16, 16)).astype(np.float32)
+    out = jax.device_get(
+        train_mod._decode_device_batch(
+            {"m": jnp.asarray(u8), "d": jnp.asarray(f32)}
+        )
+    )
+    assert out["m"].dtype == np.float32
+    want = u8.astype(np.float32) / 255.0
+    err = np.abs(out["m"].astype(np.float64) - want)
+    assert (err <= np.spacing(np.abs(want))).all()
+    np.testing.assert_array_equal(out["d"], f32)
