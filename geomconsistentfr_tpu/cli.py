@@ -53,6 +53,14 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
         action="store_true",
         help="alias for --precision fast",
     )
+    p.add_argument(
+        "--sample-parallel",
+        action="store_true",
+        help="latency parallelism: shard the shadow march's sample grid "
+        "across all visible chips (pmin combine over ICI; outputs identical "
+        "to single-chip). The right axis when the batch is small — single "
+        "images, the 18-light sweep. Any batch size works.",
+    )
 
 
 def _relighter(args, default_preset: str):
@@ -77,11 +85,20 @@ def _relighter(args, default_preset: str):
     if tier:
         cfg = apply_precision_tier(cfg, tier)
     mesh = None
-    if getattr(args, "data_parallel", False):
+    parallel = "data"
+    if getattr(args, "data_parallel", False) and getattr(
+        args, "sample_parallel", False
+    ):
+        raise SystemExit("--data-parallel conflicts with --sample-parallel")
+    if getattr(args, "data_parallel", False) or getattr(
+        args, "sample_parallel", False
+    ):
         from geomconsistentfr_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
-    return load_relighter(args.checkpoint, cfg=cfg, mesh=mesh)
+        if getattr(args, "sample_parallel", False):
+            parallel = "samples"
+    return load_relighter(args.checkpoint, cfg=cfg, mesh=mesh, parallel=parallel)
 
 
 def _parse_light(args):

@@ -84,11 +84,26 @@ class Relighter:
     """High-level inference wrapper around RelightNet + the renderer.
 
     With `mesh` (a 1-D jax.sharding.Mesh, see parallel.mesh.make_mesh) the
-    batched entry points — forward / forward_visuals / estimate_lighting —
-    run data-parallel: parameters replicated, the batch axis sharded across
-    devices via shard_map (the Pallas march kernel requires the manual-SPMD
-    path; GSPMD cannot partition it). Batch sizes must be a multiple of the
-    mesh size.
+    entry points run multi-device, along the axis picked by `parallel`:
+
+    * `parallel="data"` (throughput): the batch axis is sharded across
+      devices via shard_map (the Pallas march kernel requires the
+      manual-SPMD path; GSPMD cannot partition it). Batch sizes must be a
+      multiple of the mesh size. Applies to forward / forward_visuals /
+      estimate_lighting.
+    * `parallel="samples"` (latency): the batch (and the tiny CNN) is
+      REPLICATED and the shadow march's 160-sample axis is sharded — each
+      device marches a slice of sample_ts(cfg) over the full image and the
+      partial min distances combine with lax.pmin over ICI. f32 min is
+      associative and every post-min transform commutes with it (sqrt/denom
+      is monotone; the 1e6 off-face sentinel exceeds any geometrically
+      reachable distance; the bias gate is a per-pixel constant identical
+      on all devices), so outputs are bit-identical to the single-device
+      march. The march is ~99% of serving time (docs/PROFILE.md), so
+      single-image latency scales ~linearly with mesh size — the axis to
+      use when batch < mesh size (interactive serving, the 18-light sweep).
+      Applies to forward / forward_visuals / relight_sweep*.
+
     The reference has no multi-device anything (SURVEY §2.3); this is the
     eval/serving counterpart of train.make_data_parallel_step.
     """
@@ -99,11 +114,15 @@ class Relighter:
         variables,
         use_skips: Tuple[bool, bool, bool, bool] = FULL_SKIPS,
         mesh=None,
+        parallel: str = "data",
     ):
+        if parallel not in ("data", "samples"):
+            raise ValueError(f"unknown parallel mode: {parallel!r}")
         self.cfg = cfg
         self.variables = variables
         self.use_skips = use_skips
         self.mesh = mesh
+        self.parallel = parallel
         self.model = RelightNet(cfg=cfg.model)
 
         rcfg = cfg.render
@@ -143,7 +162,7 @@ class Relighter:
                                 target_ambient)
             return pack_visuals(out, _dev01(masks))
 
-        if mesh is None:
+        if mesh is None or parallel == "samples":
             _forward = jax.jit(_forward_core)
             _net_only = jax.jit(_net_only_core)
             _forward_visuals = jax.jit(_forward_visuals_core)
@@ -198,6 +217,115 @@ class Relighter:
             r = out.rendered * _dev01(mask)[None, ..., None]
             return jnp.floor(jnp.clip(r * 255.0, 0.0, 255.0)).astype(jnp.uint8)
 
+        if mesh is not None and parallel == "samples":
+            # Latency parallelism: shard the march's sample grid across the
+            # mesh, replicate everything else, pmin-combine (see class doc).
+            from jax.sharding import PartitionSpec as P
+
+            from geomconsistentfr_tpu.ops import shadows as shadows_ops
+            from geomconsistentfr_tpu.parallel.mesh import shard_map_fn
+            from geomconsistentfr_tpu.render import _on_tpu
+
+            axis = mesh.axis_names[0]
+            ts = shadows_ops.sample_ts(rcfg).astype(np.float32)
+            # Equal per-device slices; the tail pad duplicates the final
+            # offset, which cannot change the running min.
+            chunk = -(-ts.shape[0] // mesh.size)
+            if mesh.size * chunk > ts.shape[0]:
+                ts = np.concatenate(
+                    [ts, np.repeat(ts[-1:], mesh.size * chunk - ts.shape[0])]
+                )
+            ts_sharded = jnp.asarray(ts)
+            on_tpu = _on_tpu()
+
+            def _march_sp(depth, mask, light_point, ts_local):
+                if rcfg.use_pallas_shadows and on_tpu:
+                    from geomconsistentfr_tpu.ops.shadows_pallas import (
+                        ray_march_min_distance_pallas,
+                    )
+
+                    local = ray_march_min_distance_pallas(
+                        depth, mask, light_point, rcfg, ts=ts_local
+                    )
+                else:
+                    local = shadows_ops.ray_march_min_distance_batch(
+                        depth, mask, light_point, rcfg, ts=ts_local
+                    )
+                return jax.lax.pmin(local, axis)
+
+            def _sp_core(core):
+                def wrapped(variables, *args):
+                    *rest, ts_local = args
+
+                    def march(d, m, lp):
+                        return _march_sp(d, m, lp, ts_local)
+
+                    return core(variables, *rest, march_fn=march)
+
+                return wrapped
+
+            def _forward_core_sp(variables, images, masks, target_light,
+                                 target_ambient, march_fn):
+                images, masks = _dev01(images), _dev01(masks)
+                net = self.model.apply(
+                    variables, images, train=False, use_skips=use_skips
+                )
+                return render(
+                    net.albedo,
+                    net.depth,
+                    net.lighting,
+                    masks,
+                    rcfg,
+                    target_light=target_light,
+                    target_ambient=target_ambient,
+                    march_fn=march_fn,
+                )
+
+            def _forward_visuals_core_sp(variables, images, masks,
+                                         target_light, target_ambient,
+                                         march_fn):
+                out = _forward_core_sp(variables, images, masks, target_light,
+                                       target_ambient, march_fn)
+                return pack_visuals(out, _dev01(masks))
+
+            def _sweep_core_sp(variables, image, mask, lights, ambients,
+                               march_fn):
+                image, mask = _dev01(image), _dev01(mask)
+                net = self.model.apply(
+                    variables, image[None], train=False, use_skips=use_skips
+                )
+                l = lights.shape[0]
+
+                def tile(x):
+                    return jnp.broadcast_to(x, (l, *x.shape[1:]))
+
+                return render(
+                    tile(net.albedo),
+                    tile(net.depth),
+                    tile(net.lighting),
+                    jnp.broadcast_to(mask[None], (l, *mask.shape)),
+                    rcfg,
+                    target_light=lights,
+                    target_ambient=ambients,
+                    march_fn=march_fn,
+                )
+
+            rep, sp = P(), P(axis)
+
+            def _sp_entry(core, n_args):
+                mapped = shard_map_fn(
+                    _sp_core(core), mesh,
+                    in_specs=(rep,) * n_args + (sp,), out_specs=rep,
+                )
+                return jax.jit(lambda *a: mapped(*a, ts_sharded))
+
+            _forward = _sp_entry(_forward_core_sp, 5)
+            _forward_visuals = _sp_entry(_forward_visuals_core_sp, 5)
+            _sweep = _sp_entry(_sweep_core_sp, 5)
+            # _sweep_rendered_u8 closes over the local `_sweep` name (late
+            # binding) and therefore routes through the sample-parallel
+            # sweep automatically.
+
         self._forward = _forward
         self._net_only = _net_only
         self._sweep = _sweep
@@ -213,6 +341,8 @@ class Relighter:
         return x if x.dtype == jnp.uint8 else x.astype(jnp.float32)
 
     def _check_batch(self, b: int) -> None:
+        if self.parallel == "samples":
+            return  # batch is replicated; any size works
         if self.mesh is not None and b % self.mesh.size:
             raise ValueError(
                 f"batch size {b} must be a multiple of the mesh size "
@@ -326,6 +456,7 @@ def load_relighter(
     cfg: Optional[PipelineConfig] = None,
     use_skips: Tuple[bool, bool, bool, bool] = FULL_SKIPS,
     mesh=None,
+    parallel: str = "data",
 ) -> Relighter:
     """Build a Relighter from a reference .pth or an orbax checkpoint dir."""
     import os
@@ -358,4 +489,6 @@ def load_relighter(
     from geomconsistentfr_tpu.utils.transfer import pack_device_put
 
     variables = pack_device_put(variables)
-    return Relighter(cfg, variables, use_skips=use_skips, mesh=mesh)
+    return Relighter(
+        cfg, variables, use_skips=use_skips, mesh=mesh, parallel=parallel
+    )

@@ -28,6 +28,8 @@ Parity notes (quirks preserved as spec):
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 import jax
@@ -278,6 +280,7 @@ def ray_march_min_distance(
     mask: Array,
     light_point: Array,
     cfg: RenderConfig,
+    ts: Optional[Array] = None,
 ) -> Array:
     """Minimum 3D point-to-line distance per pixel (single image, single light).
 
@@ -287,6 +290,11 @@ def ray_march_min_distance(
       light_point: (3,) point-light position `light_distance * unit_direction`
         in centred image coordinates.
       cfg: renderer constants (static).
+      ts: optional override of the sample offsets (1-D, any length). Used by
+        the sample-parallel mesh path (infer.py), which gives each device a
+        slice of sample_ts(cfg) and pmin-combines the partial results —
+        f32 min is associative, so the combined output is bit-identical to
+        the full march. Values may be traced; the length must be static.
     Returns:
       (H, W) minimum distance, plus `shadow_bias` when the gate predicate holds.
     """
@@ -315,13 +323,15 @@ def ray_march_min_distance(
         ix = jnp.clip(ix, 0, w - 1)
         return jnp.take(values, iy * w + ix, axis=0)
 
-    ts = sample_ts(cfg)
+    if ts is None:
+        ts = sample_ts(cfg)
     chunk = max(1, min(cfg.march_chunk, ts.shape[0]))
     pad = (-ts.shape[0]) % chunk
     if pad:
         # Duplicate the final t; duplicates cannot change the running min.
-        ts = np.concatenate([ts, np.repeat(ts[-1:], pad)])
-    t_chunks = jnp.asarray(ts.reshape(-1, chunk), dtype=dtype)
+        xp = np if isinstance(ts, np.ndarray) else jnp
+        ts = xp.concatenate([ts, xp.repeat(ts[-1:], pad)])
+    t_chunks = jnp.asarray(ts, dtype=dtype).reshape(-1, chunk)
 
     def step(carry_min: Array, t_chunk: Array) -> tuple[Array, None]:
         t = t_chunk[:, None, None]                     # (C, 1, 1)
@@ -379,11 +389,15 @@ def ray_march_min_distance(
 
 
 def ray_march_min_distance_batch(
-    depths: Array, masks: Array, light_points: Array, cfg: RenderConfig
+    depths: Array,
+    masks: Array,
+    light_points: Array,
+    cfg: RenderConfig,
+    ts: Optional[Array] = None,
 ) -> Array:
     """vmap over the batch axis: (B,H,W), (B,H,W), (B,3) -> (B,H,W)."""
-    return jax.vmap(ray_march_min_distance, in_axes=(0, 0, 0, None))(
-        depths, masks, light_points, cfg
+    return jax.vmap(ray_march_min_distance, in_axes=(0, 0, 0, None, None))(
+        depths, masks, light_points, cfg, ts
     )
 
 

@@ -517,11 +517,18 @@ def ray_march_min_distance_pallas(
     tile_rows: int | None = None,
     interpret: bool = False,
     return_argmin_t: bool = False,
+    ts=None,
 ):
     """(B,H,W), (B,H,W), (B,3) -> (B,H,W) min distances, fused on TPU.
 
     With return_argmin_t also returns the winning parametric offset t* per
-    pixel (used by the backward pass)."""
+    pixel (used by the backward pass).
+
+    `ts` optionally overrides the sample offsets (1-D f32, any static
+    length, values may be traced). The sample-parallel mesh path gives each
+    device a slice of sample_ts(cfg) and pmin-combines the partial min
+    distances — exact, since f32 min is associative. With return_argmin_t
+    the returned index addresses the GIVEN ts array, not sample_ts(cfg)."""
     b, h, w = depth.shape
     assert (h, w) == (cfg.img_height, cfg.img_width), (depth.shape, cfg)
     if tile_rows is None:
@@ -529,13 +536,16 @@ def ray_march_min_distance_pallas(
     assert h % tile_rows == 0
     n_tiles = h // tile_rows
 
-    ts = shadows_ref.sample_ts(cfg).astype(np.float32)
+    if ts is None:
+        ts = shadows_ref.sample_ts(cfg).astype(np.float32)
     # Pad the step grid to a sublane multiple (odd SMEM extents crash the
-    # compiler); duplicated trailing offsets cannot change the running min.
+    # compiler); duplicated trailing offsets cannot change the running min
+    # (nor the argmin index: the strict `<` keeps the first winner).
     pad = (-ts.shape[0]) % 8
     if pad:
-        ts = np.concatenate([ts, np.repeat(ts[-1:], pad)])
-    ts = ts.reshape(-1, 1)
+        xp = np if isinstance(ts, np.ndarray) else jnp
+        ts = xp.concatenate([ts, xp.repeat(ts[-1:], pad)])
+    ts = jnp.asarray(ts, jnp.float32).reshape(-1, 1)
     depth = depth.astype(jnp.float32)
     depth_t = jnp.swapaxes(depth, -1, -2)
     indicator_t = jnp.swapaxes((mask != 0).astype(jnp.float32), -1, -2)

@@ -84,6 +84,7 @@ def render(
     cfg: RenderConfig,
     target_light: Optional[Array] = None,
     target_ambient: Optional[Array] = None,
+    march_fn=None,
 ) -> RenderOutputs:
     """Render a relit image from network outputs.
 
@@ -95,6 +96,10 @@ def render(
       cfg: static renderer constants.
       target_light: (B, 3) target light direction (need not be unit).
       target_ambient: (B,) target ambient intensity.
+      march_fn: optional override of the shadow-march dispatch,
+        (depth (B,H,W), mask, light_point (B,3)) -> min_distance (B,H,W).
+        Used by the sample-parallel mesh path (infer.py), which marches a
+        per-device slice of the sample grid and pmin-combines.
     """
     b, h, w = depth.shape
     f = cfg.focal_length
@@ -140,7 +145,9 @@ def render(
     ambient_map = jnp.broadcast_to(ambient[:, None, None], depth.shape)
     full_shading = ambient_map + directional
 
-    if cfg.use_pallas_shadows and _on_tpu():
+    if march_fn is not None:
+        min_distance = march_fn(depth, mask, light_point)
+    elif cfg.use_pallas_shadows and _on_tpu():
         from geomconsistentfr_tpu.ops.shadows_pallas import (
             ray_march_min_distance_pallas_vjp,
         )

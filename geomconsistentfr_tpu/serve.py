@@ -101,10 +101,13 @@ class MicroBatcher:
     ):
         self.relighter = relighter
         self.max_batch = max_batch
-        # Mesh-sharded relighters need every device batch to be a multiple of
-        # the mesh size; idle traffic pads to one row per device instead of 1.
+        # Mesh-sharded (data-parallel) relighters need every device batch to
+        # be a multiple of the mesh size; idle traffic pads to one row per
+        # device instead of 1. Sample-parallel relighters replicate the
+        # batch, so any size works.
         mesh = getattr(relighter, "mesh", None)
-        self.min_batch = mesh.size if mesh is not None else 1
+        sample_parallel = getattr(relighter, "parallel", "data") == "samples"
+        self.min_batch = mesh.size if mesh is not None and not sample_parallel else 1
         if max_batch % self.min_batch:
             raise ValueError(
                 f"max_batch {max_batch} must be a multiple of the mesh size "
@@ -352,7 +355,15 @@ def main(argv=None) -> int:
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard device batches across all visible chips "
                         "(--max-batch must be a multiple of the chip count)")
+    parser.add_argument("--sample-parallel", action="store_true",
+                        help="latency parallelism: shard the shadow march's "
+                        "sample grid across all visible chips (pmin over "
+                        "ICI; outputs identical to single-chip). Best for "
+                        "low-concurrency serving where per-request latency "
+                        "matters more than aggregate throughput.")
     args = parser.parse_args(argv)
+    if args.data_parallel and args.sample_parallel:
+        parser.error("--data-parallel conflicts with --sample-parallel")
 
     from geomconsistentfr_tpu.config import PRESETS, apply_precision_tier
     from geomconsistentfr_tpu.infer import load_relighter
@@ -365,11 +376,14 @@ def main(argv=None) -> int:
         tier = "fast"
     cfg = apply_precision_tier(cfg, tier or "high")
     mesh = None
-    if args.data_parallel:
+    if args.data_parallel or args.sample_parallel:
         from geomconsistentfr_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
-    relighter = load_relighter(args.checkpoint, cfg=cfg, mesh=mesh)
+    relighter = load_relighter(
+        args.checkpoint, cfg=cfg, mesh=mesh,
+        parallel="samples" if args.sample_parallel else "data",
+    )
     batcher = MicroBatcher(
         relighter, max_batch=args.max_batch, window_ms=args.batch_window_ms
     )

@@ -116,3 +116,74 @@ def test_relighter_data_parallel_matches_single_device():
 
     with pytest.raises(ValueError, match="multiple of the mesh size"):
         rln.forward(img[: b - 1], mask[: b - 1])
+
+
+def test_relighter_sample_parallel_matches_single_device():
+    """Latency-parallel inference: the march's sample axis sharded across the
+    mesh (each device marches a slice of sample_ts, pmin combine) must equal
+    the single-device forward — f32 min is associative and every post-min
+    transform commutes (infer.Relighter doc). Unlike DP, any batch size
+    works (the batch is replicated)."""
+    import dataclasses
+
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.parallel.mesh import make_mesh
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=32, img_width=32,
+            num_sample_points=12, t_stop=0.085, march_chunk=12,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    mesh = make_mesh()
+    assert mesh.size > 1, "conftest should provide the virtual 8-device mesh"
+
+    rl1 = Relighter(cfg, variables)
+    rln = Relighter(cfg, variables, mesh=mesh, parallel="samples")
+
+    rng = np.random.default_rng(11)
+    b = 3  # deliberately NOT a multiple of the mesh size
+    img = rng.uniform(size=(b, 32, 32, 3)).astype(np.float32)
+    mask = (rng.uniform(size=(b, 32, 32)) > 0.2).astype(np.float32)
+    light = rng.normal(size=(b, 3)).astype(np.float32)
+    light /= np.linalg.norm(light, axis=1, keepdims=True)
+    amb = np.full((b,), 0.5, np.float32)
+
+    out1 = rl1.forward(img, mask, target_light=light, target_ambient=amb)
+    outn = rln.forward(img, mask, target_light=light, target_ambient=amb)
+    for f in out1._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out1, f)), np.asarray(getattr(outn, f)),
+            atol=5e-4, err_msg=f,
+        )
+    # The load-bearing equivalence: the sharded march's combined min distance
+    # is (near-)exactly the full march's.
+    np.testing.assert_allclose(
+        np.asarray(out1.min_distance), np.asarray(outn.min_distance),
+        atol=1e-5,
+    )
+
+    pack1 = np.asarray(rl1.forward_visuals(img, mask, target_light=light,
+                                           target_ambient=amb))
+    packn = np.asarray(rln.forward_visuals(img, mask, target_light=light,
+                                           target_ambient=amb))
+    assert np.abs(pack1.astype(int) - packn.astype(int)).max() <= 1
+
+    # The 18-light-sweep analogue also routes through the sharded march.
+    lights = rng.normal(size=(5, 3)).astype(np.float32)
+    lights[:, 2] = np.abs(lights[:, 2]) + 0.3
+    sw1 = rl1.relight_sweep(img[0], mask[0], lights)
+    swn = rln.relight_sweep(img[0], mask[0], lights)
+    np.testing.assert_allclose(
+        np.asarray(sw1.rendered), np.asarray(swn.rendered), atol=5e-4
+    )
+    u81 = np.asarray(rl1.relight_sweep_rendered_u8(img[0], mask[0], lights))
+    u8n = np.asarray(rln.relight_sweep_rendered_u8(img[0], mask[0], lights))
+    assert np.abs(u81.astype(int) - u8n.astype(int)).max() <= 1

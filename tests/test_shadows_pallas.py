@@ -308,3 +308,47 @@ def test_mask_gather_auto_resolution():
             depth, mask, jnp.asarray(lights),
             dataclasses.replace(BASE, shadow_mask_gather="nearest"),
             interpret=True)
+
+
+def test_ts_override_slices_combine_to_full_march():
+    """Kernel ts override (the sample-parallel mesh path): marching two
+    slices of the sample grid and taking the elementwise min must equal the
+    full march EXACTLY — f32 min is associative and the post-min transforms
+    (sqrt/denom, off-face sentinel, bias gate) commute with it."""
+    cfg = BASE
+    rng = np.random.default_rng(7)
+    b = 2
+    depth = jnp.asarray(
+        rng.normal(size=(b, cfg.img_height, cfg.img_width)).astype(np.float32) * 30
+    )
+    mask = jnp.asarray(
+        (rng.uniform(size=(b, cfg.img_height, cfg.img_width)) > 0.1).astype(np.float32)
+    )
+    lights = jnp.asarray(
+        np.array([[40.0, -25.0, 60.0], [-120.0, 80.0, 90.0]], np.float32)
+    )
+    full = np.asarray(
+        SP.ray_march_min_distance_pallas(depth, mask, lights, cfg, interpret=True)
+    )
+    ts = S.sample_ts(cfg).astype(np.float32)
+    parts = [
+        np.asarray(
+            SP.ray_march_min_distance_pallas(
+                depth, mask, lights, cfg, interpret=True, ts=jnp.asarray(sl)
+            )
+        )
+        # Uneven split: 20 + 12 of the 32 samples; the first slice pads its
+        # SMEM grid to 24 by duplicating the final offset.
+        for sl in (ts[:20], ts[20:])
+    ]
+    np.testing.assert_array_equal(np.minimum(*parts), full)
+
+    # XLA-path override agrees with its own full march the same way.
+    full_ref = np.asarray(S.ray_march_min_distance_batch(depth, mask, lights, cfg))
+    parts_ref = [
+        np.asarray(
+            S.ray_march_min_distance_batch(depth, mask, lights, cfg, ts=jnp.asarray(sl))
+        )
+        for sl in (ts[:20], ts[20:])
+    ]
+    np.testing.assert_array_equal(np.minimum(*parts_ref), full_ref)
