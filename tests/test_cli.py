@@ -154,3 +154,18 @@ def test_crop_from_mask(tmp_path):
     r = _run(["crop", "--image", str(ip), "--mask", str(mp),
               "--out-image", str(out)])
     assert r.returncode != 0
+
+
+def test_sample_parallel_flag_wiring():
+    """--sample-parallel is a common model flag (relight/sweep/transfer/
+    eval-multipie) and conflicts with --data-parallel where both exist."""
+    for cmd in ("relight", "sweep", "transfer", "eval-multipie"):
+        r = _run([cmd, "--help"])
+        assert r.returncode == 0
+        assert "--sample-parallel" in r.stdout, cmd
+    r = _run([
+        "eval-multipie", "--checkpoint", "x", "--data-root", "y",
+        "--data-parallel", "--sample-parallel",
+    ])
+    assert r.returncode != 0
+    assert "conflicts" in (r.stderr + r.stdout)

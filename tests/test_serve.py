@@ -409,3 +409,64 @@ def test_serving_data_parallel_mesh():
         server.shutdown()
     finally:
         serve_mod._decode_image = orig
+
+
+def test_serving_sample_parallel_mesh():
+    """A sample-parallel relighter serves through the MicroBatcher with NO
+    batch-multiple constraint (the batch is replicated; the march's sample
+    axis is the sharded one): min_batch is 1, odd max_batch is accepted, and
+    a single /relight round-trips."""
+    from http.server import ThreadingHTTPServer
+
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.parallel.mesh import make_mesh
+    from geomconsistentfr_tpu.serve import MicroBatcher, make_handler
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=64, img_width=64,
+            num_sample_points=16, t_stop=0.105, march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    mesh = make_mesh()
+    relighter = Relighter(cfg, variables, mesh=mesh, parallel="samples")
+
+    # No mesh-divisibility requirement in this mode.
+    batcher = MicroBatcher(relighter, max_batch=mesh.size + 1, window_ms=5.0)
+    assert batcher.min_batch == 1
+
+    import geomconsistentfr_tpu.serve as serve_mod
+
+    orig = serve_mod._decode_image
+    serve_mod._decode_image = lambda b64, size=64: orig(b64, size=64)
+    try:
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(relighter, batcher)
+        )
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+
+        rng = np.random.default_rng(7)
+        img = rng.uniform(size=(64, 64, 3))
+        mask = np.ones((64, 64, 3))
+
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/relight", json.dumps({
+            "image": _png_b64(img), "mask": _png_b64(mask),
+            "light_preset": "multipie_14",
+        }))
+        resp = conn.getresponse()
+        payload = json.loads(resp.read())
+        assert resp.status == 200, payload
+        server.shutdown()
+    finally:
+        serve_mod._decode_image = orig
