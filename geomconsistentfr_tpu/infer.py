@@ -103,6 +103,12 @@ class Relighter:
       single-image latency scales ~linearly with mesh size — the axis to
       use when batch < mesh size (interactive serving, the 18-light sweep).
       Applies to forward / forward_visuals / relight_sweep*.
+    * `parallel="grid"` (both): a 2-D mesh (parallel.mesh.make_mesh_grid)
+      whose first axis shards the batch and second axis shards the march
+      samples — the medium-concurrency serving point where neither pure
+      throughput nor pure latency sharding fits. Batch must be a multiple
+      of the data-axis size; the sweep entries replicate over the data axis
+      (use a 1-D 'samples' mesh for latency-critical sweeps).
 
     The reference has no multi-device anything (SURVEY §2.3); this is the
     eval/serving counterpart of train.make_data_parallel_step.
@@ -116,7 +122,7 @@ class Relighter:
         mesh=None,
         parallel: str = "data",
     ):
-        if parallel not in ("data", "samples"):
+        if parallel not in ("data", "samples", "grid"):
             raise ValueError(f"unknown parallel mode: {parallel!r}")
         self.cfg = cfg
         self.variables = variables
@@ -162,7 +168,7 @@ class Relighter:
                                 target_ambient)
             return pack_visuals(out, _dev01(masks))
 
-        if mesh is None or parallel == "samples":
+        if mesh is None or parallel in ("samples", "grid"):
             _forward = jax.jit(_forward_core)
             _net_only = jax.jit(_net_only_core)
             _forward_visuals = jax.jit(_forward_visuals_core)
@@ -217,23 +223,42 @@ class Relighter:
             r = out.rendered * _dev01(mask)[None, ..., None]
             return jnp.floor(jnp.clip(r * 255.0, 0.0, 255.0)).astype(jnp.uint8)
 
-        if mesh is not None and parallel == "samples":
+        if mesh is not None and parallel in ("samples", "grid"):
             # Latency parallelism: shard the march's sample grid across the
-            # mesh, replicate everything else, pmin-combine (see class doc).
+            # mesh ('samples', 1-D) or across the second axis of a 2-D mesh
+            # whose first axis shards the batch ('grid'); pmin-combine over
+            # the sample axis (see class doc).
             from jax.sharding import PartitionSpec as P
 
             from geomconsistentfr_tpu.ops import shadows as shadows_ops
             from geomconsistentfr_tpu.parallel.mesh import shard_map_fn
             from geomconsistentfr_tpu.render import _on_tpu
 
-            axis = mesh.axis_names[0]
+            if parallel == "grid":
+                if len(mesh.axis_names) != 2:
+                    raise ValueError(
+                        "parallel='grid' needs a 2-D (data, samples) mesh — "
+                        "see parallel.mesh.make_mesh_grid"
+                    )
+                data_axis, axis = mesh.axis_names
+                n_sample_shards = mesh.shape[axis]
+                batch_spec = P(data_axis)
+            else:
+                if len(mesh.axis_names) != 1:
+                    raise ValueError(
+                        "parallel='samples' expects a 1-D mesh; use "
+                        "parallel='grid' for a 2-D (data, samples) mesh"
+                    )
+                axis = mesh.axis_names[0]
+                n_sample_shards = mesh.size
+                batch_spec = P()
             ts = shadows_ops.sample_ts(rcfg).astype(np.float32)
             # Equal per-device slices; the tail pad duplicates the final
             # offset, which cannot change the running min.
-            chunk = -(-ts.shape[0] // mesh.size)
-            if mesh.size * chunk > ts.shape[0]:
+            chunk = -(-ts.shape[0] // n_sample_shards)
+            if n_sample_shards * chunk > ts.shape[0]:
                 ts = np.concatenate(
-                    [ts, np.repeat(ts[-1:], mesh.size * chunk - ts.shape[0])]
+                    [ts, np.repeat(ts[-1:], n_sample_shards * chunk - ts.shape[0])]
                 )
             ts_sharded = jnp.asarray(ts)
             on_tpu = _on_tpu()
@@ -312,16 +337,27 @@ class Relighter:
 
             rep, sp = P(), P(axis)
 
-            def _sp_entry(core, n_args):
+            def _sp_entry(core, arg_spec, out_spec):
                 mapped = shard_map_fn(
                     _sp_core(core), mesh,
-                    in_specs=(rep,) * n_args + (sp,), out_specs=rep,
+                    in_specs=(rep,) + arg_spec + (sp,), out_specs=out_spec,
                 )
                 return jax.jit(lambda *a: mapped(*a, ts_sharded))
 
-            _forward = _sp_entry(_forward_core_sp, 5)
-            _forward_visuals = _sp_entry(_forward_visuals_core_sp, 5)
-            _sweep = _sp_entry(_sweep_core_sp, 5)
+            # Batched entries shard the batch over the data axis in 'grid'
+            # mode (batch_spec = P(data)); in 'samples' mode the batch is
+            # replicated (batch_spec = P()).
+            _forward = _sp_entry(
+                _forward_core_sp, (batch_spec,) * 4, batch_spec
+            )
+            _forward_visuals = _sp_entry(
+                _forward_visuals_core_sp, (batch_spec,) * 4, batch_spec
+            )
+            # The single-image sweep replicates its inputs on every axis and
+            # shards only the march samples. On a 2-D grid mesh the data-axis
+            # rows do redundant (identical) work — sweeps at latency-critical
+            # sizes should use a 1-D 'samples' mesh instead.
+            _sweep = _sp_entry(_sweep_core_sp, (rep,) * 4, rep)
             # _sweep_rendered_u8 closes over the local `_sweep` name (late
             # binding) and therefore routes through the sample-parallel
             # sweep automatically.
@@ -341,12 +377,23 @@ class Relighter:
         return x if x.dtype == jnp.uint8 else x.astype(jnp.float32)
 
     def _check_batch(self, b: int) -> None:
-        if self.parallel == "samples":
-            return  # batch is replicated; any size works
-        if self.mesh is not None and b % self.mesh.size:
+        if self.parallel == "samples" or self.mesh is None:
+            return  # no mesh, or batch replicated: any size works
+        # 'data': the whole mesh shards the batch; 'grid': its first axis.
+        n = (
+            self.mesh.shape[self.mesh.axis_names[0]]
+            if self.parallel == "grid"
+            else self.mesh.size
+        )
+        if b % n:
+            what = (
+                f"the grid mesh's batch-axis size {n}"
+                if self.parallel == "grid"
+                else f"the mesh size {n}"
+            )
             raise ValueError(
-                f"batch size {b} must be a multiple of the mesh size "
-                f"{self.mesh.size} (pad the tail batch, as run_inference does)"
+                f"batch size {b} must be a multiple of {what} "
+                f"(pad the tail batch, as run_inference does)"
             )
 
     def forward(

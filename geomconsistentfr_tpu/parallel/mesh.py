@@ -31,6 +31,31 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = DATA_AXIS) -> Mesh
     return Mesh(np.asarray(devices), (axis,))
 
 
+SAMPLES_AXIS = "samples"
+
+
+def make_mesh_grid(
+    n_data: int,
+    n_samples: int,
+    devices: Optional[Sequence] = None,
+    axes: tuple = (DATA_AXIS, SAMPLES_AXIS),
+) -> Mesh:
+    """A 2-D (data x samples) mesh for infer.Relighter(parallel='grid'):
+    the first axis shards inference batches, the second shards the shadow
+    march's sample grid (pmin-combined). Lay the samples axis along the
+    faster ICI dimension when the slice topology allows — the per-image
+    pmin is the only traffic on it."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_data * n_samples
+    if len(devices) < n:
+        raise ValueError(
+            f"need {n} devices for a {n_data}x{n_samples} grid, "
+            f"have {len(devices)}"
+        )
+    return Mesh(np.asarray(devices[:n]).reshape(n_data, n_samples), axes)
+
+
 def shard_batch_spec(ndim: int, axis: str = DATA_AXIS) -> P:
     """Partition the leading (batch) dimension over the data axis."""
     return P(axis, *([None] * (ndim - 1)))

@@ -101,13 +101,18 @@ class MicroBatcher:
     ):
         self.relighter = relighter
         self.max_batch = max_batch
-        # Mesh-sharded (data-parallel) relighters need every device batch to
-        # be a multiple of the mesh size; idle traffic pads to one row per
-        # device instead of 1. Sample-parallel relighters replicate the
-        # batch, so any size works.
+        # Mesh-sharded relighters need every device batch to be a multiple
+        # of their batch-axis size (the whole mesh for 'data', the first
+        # axis for 'grid'); idle traffic pads accordingly. Sample-parallel
+        # relighters replicate the batch, so any size works.
         mesh = getattr(relighter, "mesh", None)
-        sample_parallel = getattr(relighter, "parallel", "data") == "samples"
-        self.min_batch = mesh.size if mesh is not None and not sample_parallel else 1
+        mode = getattr(relighter, "parallel", "data")
+        if mesh is None or mode == "samples":
+            self.min_batch = 1
+        elif mode == "grid":
+            self.min_batch = mesh.shape[mesh.axis_names[0]]
+        else:
+            self.min_batch = mesh.size
         if max_batch % self.min_batch:
             raise ValueError(
                 f"max_batch {max_batch} must be a multiple of the mesh size "
@@ -361,9 +366,16 @@ def main(argv=None) -> int:
                         "ICI; outputs identical to single-chip). Best for "
                         "low-concurrency serving where per-request latency "
                         "matters more than aggregate throughput.")
+    parser.add_argument("--grid-parallel", metavar="DxS", default=None,
+                        help="2-D mesh, e.g. '4x2': batches shard across D "
+                        "chips while each image's shadow march splits over "
+                        "S chips — the medium-concurrency point between "
+                        "--data-parallel and --sample-parallel")
     args = parser.parse_args(argv)
-    if args.data_parallel and args.sample_parallel:
-        parser.error("--data-parallel conflicts with --sample-parallel")
+    if sum(bool(x) for x in (args.data_parallel, args.sample_parallel,
+                             args.grid_parallel)) > 1:
+        parser.error("--data-parallel / --sample-parallel / --grid-parallel "
+                     "are mutually exclusive")
 
     from geomconsistentfr_tpu.config import PRESETS, apply_precision_tier
     from geomconsistentfr_tpu.infer import load_relighter
@@ -376,13 +388,24 @@ def main(argv=None) -> int:
         tier = "fast"
     cfg = apply_precision_tier(cfg, tier or "high")
     mesh = None
-    if args.data_parallel or args.sample_parallel:
+    parallel = "data"
+    if args.grid_parallel:
+        from geomconsistentfr_tpu.parallel.mesh import make_mesh_grid
+
+        try:
+            n_data, n_samples = map(int, args.grid_parallel.lower().split("x"))
+        except ValueError:
+            parser.error("--grid-parallel expects DxS, e.g. 4x2")
+        mesh = make_mesh_grid(n_data, n_samples)
+        parallel = "grid"
+    elif args.data_parallel or args.sample_parallel:
         from geomconsistentfr_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
+        if args.sample_parallel:
+            parallel = "samples"
     relighter = load_relighter(
-        args.checkpoint, cfg=cfg, mesh=mesh,
-        parallel="samples" if args.sample_parallel else "data",
+        args.checkpoint, cfg=cfg, mesh=mesh, parallel=parallel
     )
     batcher = MicroBatcher(
         relighter, max_batch=args.max_batch, window_ms=args.batch_window_ms

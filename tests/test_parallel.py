@@ -187,3 +187,73 @@ def test_relighter_sample_parallel_matches_single_device():
     u81 = np.asarray(rl1.relight_sweep_rendered_u8(img[0], mask[0], lights))
     u8n = np.asarray(rln.relight_sweep_rendered_u8(img[0], mask[0], lights))
     assert np.abs(u81.astype(int) - u8n.astype(int)).max() <= 1
+
+
+def test_relighter_grid_parallel_matches_single_device():
+    """2-D (data x samples) grid: the batch sharded over the first mesh axis
+    and the march's sample grid over the second must reproduce the
+    single-device forward; batch must be a multiple of the data-axis size
+    only."""
+    import dataclasses
+
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.parallel.mesh import make_mesh_grid
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=32, img_width=32,
+            num_sample_points=12, t_stop=0.085, march_chunk=12,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    mesh = make_mesh_grid(4, 2)
+    assert mesh.shape == {"data": 4, "samples": 2}
+
+    rl1 = Relighter(cfg, variables)
+    rlg = Relighter(cfg, variables, mesh=mesh, parallel="grid")
+
+    rng = np.random.default_rng(13)
+    b = 4  # = data-axis size; NOT a multiple of the full mesh size (8)
+    img = rng.uniform(size=(b, 32, 32, 3)).astype(np.float32)
+    mask = (rng.uniform(size=(b, 32, 32)) > 0.2).astype(np.float32)
+    light = rng.normal(size=(b, 3)).astype(np.float32)
+    light /= np.linalg.norm(light, axis=1, keepdims=True)
+    amb = np.full((b,), 0.5, np.float32)
+
+    out1 = rl1.forward(img, mask, target_light=light, target_ambient=amb)
+    outg = rlg.forward(img, mask, target_light=light, target_ambient=amb)
+    for f in out1._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out1, f)), np.asarray(getattr(outg, f)),
+            atol=5e-4, err_msg=f,
+        )
+
+    pack1 = np.asarray(rl1.forward_visuals(img, mask, target_light=light,
+                                           target_ambient=amb))
+    packg = np.asarray(rlg.forward_visuals(img, mask, target_light=light,
+                                           target_ambient=amb))
+    assert np.abs(pack1.astype(int) - packg.astype(int)).max() <= 1
+
+    # Sweep routes through the grid relighter too (data axis replicated).
+    lights = rng.normal(size=(5, 3)).astype(np.float32)
+    lights[:, 2] = np.abs(lights[:, 2]) + 0.3
+    sw1 = rl1.relight_sweep(img[0], mask[0], lights)
+    swg = rlg.relight_sweep(img[0], mask[0], lights)
+    np.testing.assert_allclose(
+        np.asarray(sw1.rendered), np.asarray(swg.rendered), atol=5e-4
+    )
+
+    # Batch constraint is the DATA-axis size (4), not the mesh size (8).
+    with pytest.raises(ValueError, match="batch-axis size 4"):
+        rlg.forward(img[:3], mask[:3])
+    # And a 1-D mesh is rejected for grid mode.
+    from geomconsistentfr_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="2-D"):
+        Relighter(cfg, variables, mesh=make_mesh(), parallel="grid")
