@@ -28,6 +28,7 @@ Parity notes (quirks preserved as spec):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -281,6 +282,7 @@ def ray_march_min_distance(
     light_point: Array,
     cfg: RenderConfig,
     ts: Optional[Array] = None,
+    return_argmin_t: bool = False,
 ) -> Array:
     """Minimum 3D point-to-line distance per pixel (single image, single light).
 
@@ -295,8 +297,12 @@ def ray_march_min_distance(
         slice of sample_ts(cfg) and pmin-combines the partial results —
         f32 min is associative, so the combined output is bit-identical to
         the full march. Values may be traced; the length must be static.
+      return_argmin_t: also return the winning offset t* per pixel
+        (first-minimal-sample tie-break, matching torch.min), used by the
+        sample-sharded training backward.
     Returns:
-      (H, W) minimum distance, plus `shadow_bias` when the gate predicate holds.
+      (H, W) minimum distance, plus `shadow_bias` when the gate predicate
+      holds; with return_argmin_t, a (min_distance, t_star) pair.
     """
     h, w = cfg.img_height, cfg.img_width
     assert depth.shape == (h, w), depth.shape
@@ -377,14 +383,35 @@ def ray_march_min_distance(
         )
         distances = numerator / denominator[None]
         distances = jnp.where(sample_mask == 0, _OFF_FACE_DISTANCE, distances)
-        return jnp.minimum(carry_min, jnp.min(distances, axis=0)), None
+        if not return_argmin_t:
+            return jnp.minimum(carry_min, jnp.min(distances, axis=0)), None
+        # First-winner tie-break (torch.min semantics): argmin picks the
+        # first minimal index within the chunk; strict < keeps the earlier
+        # chunk's winner. Duplicated pad offsets therefore never displace
+        # the original winner.
+        carry_min, carry_t = carry_min
+        chunk_min = jnp.min(distances, axis=0)
+        chunk_t = t_chunk[jnp.argmin(distances, axis=0)]
+        better = chunk_min < carry_min
+        return (
+            jnp.where(better, chunk_min, carry_min),
+            jnp.where(better, chunk_t.astype(dtype), carry_t),
+        ), None
 
     init = jnp.full((h, w), jnp.inf, dtype=dtype)
-    min_distance, _ = jax.lax.scan(step, init, t_chunks)
+    if return_argmin_t:
+        init = (init, jnp.zeros((h, w), dtype=dtype))
+    carry_out, _ = jax.lax.scan(step, init, t_chunks)
+    if return_argmin_t:
+        min_distance, t_star = carry_out
+    else:
+        min_distance = carry_out
 
     if cfg.shadow_bias_gate != "none":
         gate = _bias_gate(light_x, light_y, cfg)
         min_distance = min_distance + jnp.where(gate, cfg.shadow_bias, 0.0).astype(dtype)
+    if return_argmin_t:
+        return min_distance, t_star
     return min_distance
 
 
@@ -394,11 +421,13 @@ def ray_march_min_distance_batch(
     light_points: Array,
     cfg: RenderConfig,
     ts: Optional[Array] = None,
+    return_argmin_t: bool = False,
 ) -> Array:
     """vmap over the batch axis: (B,H,W), (B,H,W), (B,3) -> (B,H,W)."""
-    return jax.vmap(ray_march_min_distance, in_axes=(0, 0, 0, None, None))(
-        depths, masks, light_points, cfg, ts
-    )
+    return jax.vmap(
+        partial(ray_march_min_distance, return_argmin_t=return_argmin_t),
+        in_axes=(0, 0, 0, None, None),
+    )(depths, masks, light_points, cfg, ts)
 
 
 def ray_march_min_distance_lights(

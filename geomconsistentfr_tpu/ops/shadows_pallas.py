@@ -509,6 +509,71 @@ def _vjp_bwd(cfg, residuals, g):
 ray_march_min_distance_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def ray_march_min_distance_pallas_vjp_sp(
+    depth: Array,
+    mask: Array,
+    light_point: Array,
+    cfg: RenderConfig,
+    axis_name: str,
+    ts_local: Array,
+) -> Array:
+    """Sample-sharded differentiable march for multi-chip TRAINING.
+
+    Inside a shard_map whose `axis_name` axis shards the sample grid, each
+    device marches its `ts_local` slice; the forward combines partial min
+    distances with pmin (exact — f32 min is associative). The backward's
+    winning offset t* combines with first-global-winner semantics: among
+    devices achieving the global min, the SMALLEST t wins, which equals the
+    reference's torch.min first-index tie-break PROVIDED the devices hold
+    contiguous increasing slices of sample_ts(cfg) (how train.py and
+    infer.py slice them). The backward itself then runs replicated (same
+    residuals on every device), so gradients are identical across the
+    sample axis with no further collective.
+    """
+    out, _ = _vjp_fwd_sp(depth, mask, light_point, cfg, axis_name, ts_local)
+    return out
+
+
+def _vjp_fwd_sp(depth, mask, light_point, cfg, axis_name, ts_local):
+    # Same path dispatch as render(): the Pallas kernel on TPU, the pure-XLA
+    # march elsewhere (CPU mesh tests); both emit first-winner t*.
+    on_tpu = False
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        pass
+    if cfg.use_pallas_shadows and on_tpu:
+        local_min, t_star_local = ray_march_min_distance_pallas(
+            depth, mask, light_point, cfg, return_argmin_t=True, ts=ts_local
+        )
+    else:
+        local_min, t_star_local = shadows_ref.ray_march_min_distance_batch(
+            depth, mask, light_point, cfg, ts=ts_local, return_argmin_t=True
+        )
+    global_min = jax.lax.pmin(local_min, axis_name)
+    # Devices not achieving the global min are strictly greater (the pmin
+    # result IS one of the local values, so the equality test is exact).
+    t_candidate = jnp.where(local_min == global_min, t_star_local, jnp.inf)
+    t_star = jax.lax.pmin(t_candidate, axis_name)
+    return global_min, (depth, mask, light_point, t_star, ts_local)
+
+
+def _vjp_bwd_sp(cfg, axis_name, residuals, g):
+    # The cotangent g and every residual are replicated across the sample
+    # axis (the forward output is post-pmin), so the single-winning-sample
+    # backward runs identically on every device — reuse the single-device
+    # rule and emit a zero cotangent for the (non-differentiated) ts slice.
+    depth, mask, light_point, t_star, ts_local = residuals
+    d_depth, d_mask, d_light = _vjp_bwd(
+        cfg, (depth, mask, light_point, t_star), g
+    )
+    return d_depth, d_mask, d_light, jnp.zeros_like(ts_local)
+
+
+ray_march_min_distance_pallas_vjp_sp.defvjp(_vjp_fwd_sp, _vjp_bwd_sp)
+
+
 def ray_march_min_distance_pallas(
     depth: Array,
     mask: Array,

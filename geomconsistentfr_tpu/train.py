@@ -131,6 +131,7 @@ def _train_step(
     cfg: PipelineConfig,
     use_skips: Tuple[bool, bool, bool, bool],
     axis_name: Optional[str],
+    march_fn=None,
 ) -> Tuple[TrainState, Dict[str, Array]]:
     model = RelightNet(cfg=cfg.model, axis_name=axis_name)
     patchgan = PatchGAN(axis_name=axis_name)
@@ -166,7 +167,10 @@ def _train_step(
             use_skips=use_skips,
             mutable=["batch_stats"],
         )
-        out = render(net.albedo, net.depth, net.lighting, face_mask, rcfg)
+        out = render(
+            net.albedo, net.depth, net.lighting, face_mask, rcfg,
+            march_fn=march_fn,
+        )
         bs_g = mutated["batch_stats"]
 
         composite = masked_composite(out.rendered, images, face_mask)
@@ -285,6 +289,78 @@ def make_data_parallel_step(cfg: PipelineConfig, mesh):
     return step
 
 
+def make_grid_parallel_step(cfg: PipelineConfig, mesh):
+    """shard_map'd step over a 2-D ('data', 'samples') mesh.
+
+    The batch shards over the first axis exactly as make_data_parallel_step;
+    the second axis additionally shards the shadow march's sample grid
+    (ray_march_min_distance_pallas_vjp_sp: pmin-combined forward,
+    first-global-winner t* for the replicated single-sample backward). This
+    accelerates the REFERENCE TRAINING PROTOCOL itself — batch 3 caps plain
+    DP at 3 chips, but the march is ~63-68% of the step (docs/PROFILE.md),
+    so a 3xS grid keeps cutting wall-clock at fixed batch size. Everything
+    outside the march (CNN fwd/bwd, D, losses, optimizers) runs replicated
+    across the samples axis; since its inputs and the post-pmin march output
+    are replicated there, gradients and parameter updates stay bit-identical
+    across that axis with no extra collectives — loss/grad/BN reductions
+    stay on the data axis only.
+    """
+    from geomconsistentfr_tpu.ops import shadows as shadows_ops
+    from geomconsistentfr_tpu.ops.shadows_pallas import (
+        ray_march_min_distance_pallas_vjp_sp,
+    )
+
+    data_axis, samples_axis = mesh.axis_names
+    n_s = mesh.shape[samples_axis]
+    ts = shadows_ops.sample_ts(cfg.render).astype(np.float32)
+    # Contiguous increasing slices — required for the first-global-winner
+    # t* combine to match torch.min tie-break (see the vjp_sp docstring).
+    chunk = -(-ts.shape[0] // n_s)
+    if n_s * chunk > ts.shape[0]:
+        ts = np.concatenate([ts, np.repeat(ts[-1:], n_s * chunk - ts.shape[0])])
+    ts_global = jnp.asarray(ts)
+
+    batch_specs = {
+        "image": shard_batch_spec(4, data_axis),
+        "face_mask": shard_batch_spec(3, data_axis),
+        "depth_gt": shard_batch_spec(3, data_axis),
+        "depth_mask": shard_batch_spec(3, data_axis),
+        "albedo_gt": shard_batch_spec(3, data_axis),
+        "light_gt": shard_batch_spec(2, data_axis),
+    }
+
+    def make(use_skips):
+        def local_step(state, batch, ts_local):
+            def march(depth, mask, light_point):
+                return ray_march_min_distance_pallas_vjp_sp(
+                    depth, mask, light_point, cfg.render, samples_axis,
+                    ts_local,
+                )
+
+            return _train_step(
+                state, batch, cfg=cfg, use_skips=use_skips,
+                axis_name=data_axis, march_fn=march,
+            )
+
+        sharded = shard_map_fn(
+            local_step,
+            mesh,
+            in_specs=(P(), batch_specs, P(samples_axis)),
+            out_specs=(P(), P()),
+        )
+        return jax.jit(lambda state, batch: sharded(state, batch, ts_global))
+
+    cache: Dict[Tuple[bool, ...], Any] = {}
+
+    def step(state, batch, use_skips):
+        key = tuple(use_skips)
+        if key not in cache:
+            cache[key] = make(key)
+        return cache[key](state, batch)
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # Trainer driver
 # ---------------------------------------------------------------------------
@@ -307,7 +383,9 @@ class Trainer:
         self.profile = profile
         self.mesh = mesh if mesh is not None else make_mesh()
         n_dev = self.mesh.devices.size
-        if n_dev > 1:
+        if len(self.mesh.axis_names) == 2:
+            self.step_fn = make_grid_parallel_step(self.cfg, self.mesh)
+        elif n_dev > 1:
             self.step_fn = make_data_parallel_step(self.cfg, self.mesh)
         else:
             self.step_fn = make_single_device_step(self.cfg)

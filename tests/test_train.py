@@ -366,3 +366,84 @@ def test_decode_device_batch_matches_host_scaling():
     err = np.abs(out["m"].astype(np.float64) - want)
     assert (err <= np.spacing(np.abs(want))).all()
     np.testing.assert_array_equal(out["d"], f32)
+
+
+def test_grid_parallel_matches_single_device():
+    """2-D (data x samples) step == single-device step on the global batch:
+    the batch shards over the data axis while the shadow march's sample grid
+    shards over the samples axis (pmin forward + first-global-winner t* for
+    the replicated backward). Also asserts parameters stay in sync across
+    the samples axis (gradients there must be bit-identical by design)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    from geomconsistentfr_tpu.parallel.mesh import (
+        device_put_sharded_batch,
+        make_mesh_grid,
+    )
+
+    cfg = _tiny_cfg(batch=2)
+    state = train_mod.init_state(cfg, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(2)
+    batch = _batch(rng, 2, 32)
+    # Make the mask non-trivial so the off-face veto and the argmin combine
+    # see real structure (all-vetoed sample slices included).
+    batch["face_mask"] = (
+        rng.uniform(size=(2, 32, 32)) > 0.2
+    ).astype(np.float32)
+
+    single = train_mod.make_single_device_step(cfg)
+    s_single, m_single = single(state, batch, (False, False, False, False))
+
+    mesh = make_mesh_grid(2, 4)  # 16 samples -> 4 per device
+    grid = train_mod.make_grid_parallel_step(cfg, mesh)
+    sharded_batch = device_put_sharded_batch(batch, mesh)
+    s_grid, m_grid = grid(state, sharded_batch, (False, False, False, False))
+
+    # Forward (loss) equivalence is tight; parameter updates differ at
+    # ~1e-4 because the grid path uses the single-winning-sample backward
+    # (recompute from t*, exact a.e. — the same estimator the Pallas TPU
+    # training path uses) while the CPU single-device step autogradss
+    # through the full 16-sample min.
+    for k in m_single:
+        assert abs(float(m_single[k]) - float(m_grid[k])) < 5e-4, (
+            k, float(m_single[k]), float(m_grid[k]),
+        )
+    for a, b in zip(
+        jax.tree.leaves(s_single.params_g), jax.tree.leaves(s_grid.params_g)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+    # Sharding-shape self-consistency is the sharp check: a (1, 8) grid
+    # (8 sample shards, no data sharding) uses the identical gradient
+    # estimator, so any deviation would expose a bug in the sample-axis
+    # combine itself (pmin, first-global-winner t*, replicated backward).
+    mesh18 = make_mesh_grid(1, 8)
+    grid18 = train_mod.make_grid_parallel_step(cfg, mesh18)
+    batch18 = device_put_sharded_batch(batch, mesh18)
+    s_g18, m_g18 = grid18(state, batch18, (False, False, False, False))
+    for k in m_grid:
+        # 1-way vs 2-way data psum changes f32 reduction order; bound the
+        # drift relative to the metric's magnitude (losses range 0.01..20).
+        tol = 2e-5 + 2e-6 * abs(float(m_grid[k]))
+        assert abs(float(m_g18[k]) - float(m_grid[k])) < tol, (
+            k, float(m_g18[k]), float(m_grid[k]),
+        )
+    # Params tolerate more: one Adam step from init turns ~1e-7 psum-order
+    # gradient noise into +-lr update flips wherever a near-zero gradient
+    # changes sign (m/sqrt(v) ~ sign(g) at step 1). The bit-exact
+    # estimator-level check lives in
+    # tests/test_shadows_pallas.py::test_vjp_sp_gradient_slice_invariant.
+    for a, b in zip(
+        jax.tree.leaves(s_g18.params_g), jax.tree.leaves(s_grid.params_g)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+    for a, b in zip(
+        jax.tree.leaves(s_g18.params_d), jax.tree.leaves(s_grid.params_d)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+    # A second step keeps them in lockstep (catches any samples-axis
+    # divergence compounding through optimizer state).
+    s_single2, m_single2 = single(s_single, batch, (False, False, False, False))
+    s_grid2, m_grid2 = grid(s_grid, sharded_batch, (False, False, False, False))
+    assert abs(float(m_single2["total"]) - float(m_grid2["total"])) < 2e-3
