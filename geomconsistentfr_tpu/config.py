@@ -385,7 +385,8 @@ PRESETS = {
 #             the strict march cost; see docs/BENCH_r04_high.json).
 #   'fast'    bfloat16 CNN activations + single-pass bf16 shadow matmuls
 #             and the bilinear mask veto (max throughput; golden parity
-#             stays >= 50 dB on the bundled fixtures).
+#             >= 46 dB on every bundled fixture, >= 50 dB on the
+#             transfer-path ones — docs/PARITY_matrix.json).
 PRECISION_TIERS = ("strict", "high", "fast")
 
 

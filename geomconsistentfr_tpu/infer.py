@@ -142,7 +142,8 @@ class Relighter:
                 return x.astype(jnp.float32) / 255.0
             return x
 
-        def _forward_core(variables, images, masks, target_light, target_ambient):
+        def _forward_core(variables, images, masks, target_light,
+                          target_ambient, march_fn=None):
             images, masks = _dev01(images), _dev01(masks)
             net = self.model.apply(
                 variables, images, train=False, use_skips=use_skips
@@ -155,6 +156,7 @@ class Relighter:
                 rcfg,
                 target_light=target_light,
                 target_ambient=target_ambient,
+                march_fn=march_fn,
             )
 
         def _net_only_core(variables, images):
@@ -163,9 +165,9 @@ class Relighter:
             )
 
         def _forward_visuals_core(variables, images, masks, target_light,
-                                  target_ambient):
+                                  target_ambient, march_fn=None):
             out = _forward_core(variables, images, masks, target_light,
-                                target_ambient)
+                                target_ambient, march_fn=march_fn)
             return pack_visuals(out, _dev01(masks))
 
         if mesh is None or parallel in ("samples", "grid"):
@@ -191,8 +193,8 @@ class Relighter:
                 in_specs=(rep, dp, dp, dp, dp), out_specs=dp,
             ))
 
-        @jax.jit
-        def _sweep(variables, image, mask, lights, ambients):
+        def _sweep_core(variables, image, mask, lights, ambients,
+                        march_fn=None):
             # One network forward; the renderer then runs ONCE with the light
             # axis folded into its batch axis (the reference reruns the full
             # network per light, test_raytracing_...py:587-601).
@@ -213,7 +215,10 @@ class Relighter:
                 rcfg,
                 target_light=lights,
                 target_ambient=ambients,
+                march_fn=march_fn,
             )
+
+        _sweep = jax.jit(_sweep_core)
 
         @jax.jit
         def _sweep_rendered_u8(variables, image, mask, lights, ambients):
@@ -252,15 +257,11 @@ class Relighter:
                 axis = mesh.axis_names[0]
                 n_sample_shards = mesh.size
                 batch_spec = P()
-            ts = shadows_ops.sample_ts(rcfg).astype(np.float32)
-            # Equal per-device slices; the tail pad duplicates the final
-            # offset, which cannot change the running min.
-            chunk = -(-ts.shape[0] // n_sample_shards)
-            if n_sample_shards * chunk > ts.shape[0]:
-                ts = np.concatenate(
-                    [ts, np.repeat(ts[-1:], n_sample_shards * chunk - ts.shape[0])]
-                )
-            ts_sharded = jnp.asarray(ts)
+            # Equal contiguous per-device slices (tail pad duplicates the
+            # final offset, which cannot change the running min).
+            ts_sharded = jnp.asarray(
+                shadows_ops.sharded_sample_ts(rcfg, n_sample_shards)
+            )
             on_tpu = _on_tpu()
 
             def _march_sp(depth, mask, light_point, ts_local):
@@ -289,52 +290,6 @@ class Relighter:
 
                 return wrapped
 
-            def _forward_core_sp(variables, images, masks, target_light,
-                                 target_ambient, march_fn):
-                images, masks = _dev01(images), _dev01(masks)
-                net = self.model.apply(
-                    variables, images, train=False, use_skips=use_skips
-                )
-                return render(
-                    net.albedo,
-                    net.depth,
-                    net.lighting,
-                    masks,
-                    rcfg,
-                    target_light=target_light,
-                    target_ambient=target_ambient,
-                    march_fn=march_fn,
-                )
-
-            def _forward_visuals_core_sp(variables, images, masks,
-                                         target_light, target_ambient,
-                                         march_fn):
-                out = _forward_core_sp(variables, images, masks, target_light,
-                                       target_ambient, march_fn)
-                return pack_visuals(out, _dev01(masks))
-
-            def _sweep_core_sp(variables, image, mask, lights, ambients,
-                               march_fn):
-                image, mask = _dev01(image), _dev01(mask)
-                net = self.model.apply(
-                    variables, image[None], train=False, use_skips=use_skips
-                )
-                l = lights.shape[0]
-
-                def tile(x):
-                    return jnp.broadcast_to(x, (l, *x.shape[1:]))
-
-                return render(
-                    tile(net.albedo),
-                    tile(net.depth),
-                    tile(net.lighting),
-                    jnp.broadcast_to(mask[None], (l, *mask.shape)),
-                    rcfg,
-                    target_light=lights,
-                    target_ambient=ambients,
-                    march_fn=march_fn,
-                )
-
             rep, sp = P(), P(axis)
 
             def _sp_entry(core, arg_spec, out_spec):
@@ -348,16 +303,16 @@ class Relighter:
             # mode (batch_spec = P(data)); in 'samples' mode the batch is
             # replicated (batch_spec = P()).
             _forward = _sp_entry(
-                _forward_core_sp, (batch_spec,) * 4, batch_spec
+                _forward_core, (batch_spec,) * 4, batch_spec
             )
             _forward_visuals = _sp_entry(
-                _forward_visuals_core_sp, (batch_spec,) * 4, batch_spec
+                _forward_visuals_core, (batch_spec,) * 4, batch_spec
             )
             # The single-image sweep replicates its inputs on every axis and
             # shards only the march samples. On a 2-D grid mesh the data-axis
             # rows do redundant (identical) work — sweeps at latency-critical
             # sizes should use a 1-D 'samples' mesh instead.
-            _sweep = _sp_entry(_sweep_core_sp, (rep,) * 4, rep)
+            _sweep = _sp_entry(_sweep_core, (rep,) * 4, rep)
             # _sweep_rendered_u8 closes over the local `_sweep` name (late
             # binding) and therefore routes through the sample-parallel
             # sweep automatically.
@@ -485,7 +440,11 @@ class Relighter:
         from geomconsistentfr_tpu.render import estimated_light
 
         images = self._as_input(images)
-        self._check_batch(images.shape[0])
+        # _net_only is an unsharded plain jit except in 'data' mode (grid /
+        # samples modes shard only the march, which the net forward skips),
+        # so only 'data' constrains the batch here.
+        if self.parallel == "data":
+            self._check_batch(images.shape[0])
         net = self._net_only(self.variables, images)
         unit, ambient = estimated_light(net.lighting, self.cfg.render)
         return np.asarray(unit), np.asarray(ambient)

@@ -54,6 +54,33 @@ def sample_ts(cfg: RenderConfig) -> np.ndarray:
     return ts
 
 
+def sharded_sample_ts(cfg: RenderConfig, n_shards: int) -> np.ndarray:
+    """sample_ts padded to equal contiguous increasing per-shard slices.
+
+    The single source of the sample-parallel slicing invariant: shard i takes
+    rows [i*chunk, (i+1)*chunk) of the returned float32 array, so slices are
+    CONTIGUOUS and INCREASING — the first-global-winner t* combine in
+    shadows_pallas._vjp_fwd_sp relies on exactly this ordering to reproduce
+    torch.min's first-index tie-break. The tail pad duplicates the final
+    offset, which cannot change a running min.
+    """
+    ts = sample_ts(cfg).astype(np.float32)
+    chunk = -(-ts.shape[0] // n_shards)
+    if n_shards * chunk > ts.shape[0]:
+        ts = np.concatenate(
+            [ts, np.repeat(ts[-1:], n_shards * chunk - ts.shape[0])]
+        )
+    return ts
+
+
+def on_tpu() -> bool:
+    """True when the default jax backend is a TPU (shared path dispatch)."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def border_endpoints(
     xx: Array, yy: Array, light_x: Array, light_y: Array, cfg: RenderConfig
 ) -> tuple[Array, Array]:

@@ -538,12 +538,7 @@ def ray_march_min_distance_pallas_vjp_sp(
 def _vjp_fwd_sp(depth, mask, light_point, cfg, axis_name, ts_local):
     # Same path dispatch as render(): the Pallas kernel on TPU, the pure-XLA
     # march elsewhere (CPU mesh tests); both emit first-winner t*.
-    on_tpu = False
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:
-        pass
-    if cfg.use_pallas_shadows and on_tpu:
+    if cfg.use_pallas_shadows and shadows_ref.on_tpu():
         local_min, t_star_local = ray_march_min_distance_pallas(
             depth, mask, light_point, cfg, return_argmin_t=True, ts=ts_local
         )

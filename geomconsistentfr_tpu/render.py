@@ -37,11 +37,9 @@ from geomconsistentfr_tpu.ops.shading import (
 Array = jax.Array
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+# Shared backend probe (ops.shadows.on_tpu); kept under the old name for the
+# call sites that import it from here.
+_on_tpu = shadows_ops.on_tpu
 
 
 class RenderOutputs(NamedTuple):

@@ -114,10 +114,12 @@ class MicroBatcher:
         else:
             self.min_batch = mesh.size
         if max_batch % self.min_batch:
-            raise ValueError(
-                f"max_batch {max_batch} must be a multiple of the mesh size "
-                f"{self.min_batch}"
+            what = (
+                f"the grid mesh's data-axis size {self.min_batch}"
+                if mode == "grid"
+                else f"the mesh size {self.min_batch}"
             )
+            raise ValueError(f"max_batch {max_batch} must be a multiple of {what}")
         self.window_s = window_ms / 1000.0
         self.request_timeout_s = request_timeout_s
         self._queue: "queue.Queue" = queue.Queue()

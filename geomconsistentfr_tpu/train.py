@@ -312,13 +312,9 @@ def make_grid_parallel_step(cfg: PipelineConfig, mesh):
 
     data_axis, samples_axis = mesh.axis_names
     n_s = mesh.shape[samples_axis]
-    ts = shadows_ops.sample_ts(cfg.render).astype(np.float32)
     # Contiguous increasing slices — required for the first-global-winner
-    # t* combine to match torch.min tie-break (see the vjp_sp docstring).
-    chunk = -(-ts.shape[0] // n_s)
-    if n_s * chunk > ts.shape[0]:
-        ts = np.concatenate([ts, np.repeat(ts[-1:], n_s * chunk - ts.shape[0])])
-    ts_global = jnp.asarray(ts)
+    # t* combine to match torch.min tie-break (see sharded_sample_ts).
+    ts_global = jnp.asarray(shadows_ops.sharded_sample_ts(cfg.render, n_s))
 
     batch_specs = {
         "image": shard_batch_spec(4, data_axis),

@@ -252,6 +252,13 @@ def test_relighter_grid_parallel_matches_single_device():
     # Batch constraint is the DATA-axis size (4), not the mesh size (8).
     with pytest.raises(ValueError, match="batch-axis size 4"):
         rlg.forward(img[:3], mask[:3])
+    # estimate_lighting runs through an UNSHARDED net forward in grid mode,
+    # so it must accept any batch size (regression: the divisibility check
+    # used to reject non-multiples needlessly).
+    u3, a3 = rlg.estimate_lighting(img[:3])
+    u3_1, a3_1 = rl1.estimate_lighting(img[:3])
+    np.testing.assert_allclose(u3, u3_1, atol=1e-5)
+    np.testing.assert_allclose(a3, a3_1, atol=1e-5)
     # And a 1-D mesh is rejected for grid mode.
     from geomconsistentfr_tpu.parallel.mesh import make_mesh
 
