@@ -148,7 +148,11 @@ class RenderConfig:
     # run: 'vpu' = lane-axis jnp.sum (~8 cross-lane passes), 'mxu' = ones-
     # vector matvec on the MXU (one elementwise pass + a nearly-free
     # matmul; bit-identical in f32, used at HIGHEST precision in strict
-    # mode). 'auto' picks the faster measured option per platform.
+    # mode). 'auto' picks the faster measured option per tier: MXU for
+    # exact {0,1} products and for fast bf16 mode, VPU for strict (a
+    # HIGHEST matvec costs more than the cross-lane sum), and for 'high' a
+    # bf16x2-split matvec (prod = hi + lo, two DEFAULT passes, f32 MXU
+    # accumulation -> ~2^-17 relative error, inside that tier's budget).
     shadow_reduce: str = "auto"
 
     def __post_init__(self):

@@ -158,31 +158,50 @@ def _march_kernel(
         'mxu' mode: one elementwise pass + a ones-matvec on the MXU instead
         of ~8 cross-lane VPU passes. exact_products marks 1.0 x {0,1}
         selections that are exact at any matmul precision. 'auto' (measured
-        on v5e): MXU for exact products and for fast (bf16) mode, VPU for
-        strict f32 values — a HIGHEST-precision matvec costs more than the
-        cross-lane sum it replaces.
+        on v5e): MXU for exact products and for fast (bf16) mode; for 'high'
+        a bf16x2 SPLIT matvec (prod = hi + lo, two DEFAULT passes — the MXU
+        accumulates f32, so the result tracks the f32 sum to ~2^-17 relative,
+        inside the tier's error budget) replaces the ~7-pass cross-lane sum;
+        VPU only for strict f32 values — a HIGHEST-precision matvec costs
+        more than the cross-lane sum it replaces.
         """
         mode = cfg.shadow_reduce
+        prod = x3 * w3
+
+        def matvec(a, mv_precision):
+            out = jax.lax.dot_general(
+                a.reshape(sub * w, h),
+                ones_h.astype(a.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mv_precision,
+            )
+            return out.reshape(sub, w, 1)[:, :, 0]
+
         if mode == "auto":
-            use_mxu = exact_products or precision == jax.lax.Precision.DEFAULT
+            if exact_products or precision == jax.lax.Precision.DEFAULT:
+                use = "mxu"
+            elif precision == "high":
+                use = "mxu_split"
+            else:
+                use = "vpu"
         else:
-            use_mxu = mode == "mxu"
+            use = mode
+        if use == "vpu":
+            return jnp.sum(prod, axis=2)
+        if use == "mxu_split":
+            hi_f32 = prod.astype(jnp.bfloat16).astype(jnp.float32)
+            hi = hi_f32.astype(jnp.bfloat16)
+            lo = (prod - hi_f32).astype(jnp.bfloat16)
+            d = jax.lax.Precision.DEFAULT
+            return matvec(hi, d) + matvec(lo, d)
         red_precision = (
             jax.lax.Precision.HIGHEST if precision == "high" else precision
         )
-        prod = x3 * w3
-        if not use_mxu:
-            return jnp.sum(prod, axis=2)
-        out = jax.lax.dot_general(
-            prod.reshape(sub * w, h),
-            ones_h,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=(
-                jax.lax.Precision.DEFAULT if exact_products else red_precision
-            ),
+        return matvec(
+            prod,
+            jax.lax.Precision.DEFAULT if exact_products else red_precision,
         )
-        return out.reshape(sub, w, 1)[:, :, 0]
 
     if cfg.shadow_bias_gate == "inside_image":
         lo_x, hi_x = -cfg.half_w, cfg.img_width - cfg.half_w - 1.0
@@ -271,6 +290,12 @@ def _march_kernel(
         # (y-weights are built AFTER the gather matmuls, at their use sites:
         # hoisting the 2 MB hat_y across a matmul extends its VMEM live
         # range enough to tip the strict mode over the VMEM budget.)
+        # (Idea measured and REJECTED: quantizing xtc to 1/256 px makes the
+        # hat weights exactly bf16-representable — no operand rounding in
+        # the fast matmul — but breaks the interpret-mode invariant that
+        # the default-precision kernel is bit-identical to the reference
+        # under exact arithmetic, for a fraction-of-a-dB gain on a tier
+        # already 10 dB above the parity bar.)
         wx = hat(cls_wf, xtc).reshape(sub * w, w)
 
         def indicator_rows(weights2d, exact: bool):
@@ -637,7 +662,9 @@ def ray_march_min_distance_pallas(
         # samples): onehot 49.5 ms/img, hat_y 44.7, bilinear 38.3; golden
         # 00104 parity 50.3 / 50.2 / 50.1 dB respectively — the boundary-
         # band veto flips are invisible next to the fast mode's own bf16
-        # interp noise. 'hat'/'hat_y' remain opt-in.
+        # interp noise. 'hat'/'hat_y' remain opt-in (measured for 'high':
+        # hat_y's bf16-threshold veto deviates on ~0.2% of pixels — far
+        # outside that tier's parity budget, so it stays fast-mode-only).
         mask_mode = (
             "bilinear" if precision == jax.lax.Precision.DEFAULT else "onehot"
         )

@@ -190,8 +190,10 @@ def test_pallas_hat_mask_gather_mode():
 
 
 def test_pallas_high_precision_split():
-    """'high' (manual bf16x3 split) tracks the f32 reference to ~1e-3 worst
-    case and keeps the veto sentinels exact."""
+    """'high' (manual bf16x3 gather split + bf16x2-split matvec reduce)
+    tracks the f32 reference to ~1e-3 worst case and keeps the veto
+    sentinels exact (auto veto stays exact onehot for this tier: hat_y's
+    bf16-threshold band was measured to flip ~0.2% of pixels — rejected)."""
     cfg = dataclasses.replace(BASE, shadow_matmul_precision="high")
     rng = np.random.default_rng(0)
     lights = (
