@@ -32,8 +32,9 @@ def main() -> None:
     # Serving-precision tier (config.apply_precision_tier): 'fast' is the
     # production default benchmarked here (bf16 CNN + bf16 shadow matmuls +
     # bilinear veto; golden parity >= 50 dB). BENCH_PRECISION selects
-    # 'strict' (true f32, the parity-suite mode) or 'high' (bf16x3-split
-    # matmuls, parity-grade). BENCH_STRICT=1 is the legacy strict alias.
+    # 'strict' (true f32, the parity-suite mode), 'high' (bf16x3-split
+    # matmuls, parity-grade) or 'draft' (fast + half-resolution march,
+    # preview grade). BENCH_STRICT=1 is the legacy strict alias.
     tier = os.environ.get("BENCH_PRECISION", "fast")
     if os.environ.get("BENCH_STRICT") == "1":
         tier = "strict"

@@ -38,15 +38,17 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--out", default="outputs", help="output directory")
     p.add_argument(
         "--precision",
-        choices=["strict", "high", "fast"],
+        choices=["strict", "high", "fast", "draft"],
         default=None,
         help="serving precision tier: 'strict' = true-f32 shadow matmuls + "
         "f32 CNN (bit-close parity, the parity-suite mode); 'high' = "
         "bf16x3-split shadow matmuls + f32 CNN (matches strict on every "
         "golden fixture at +12%% throughput, docs/PARITY_matrix.json); "
         "'fast' = bf16 CNN + single-pass bf16 matmuls + bilinear veto (max "
-        "throughput, golden parity >=46 dB). Default: high (strict when "
-        "--config is given, so explicit precision overrides are honoured).",
+        "throughput, golden parity >=46 dB); 'draft' = fast plus a "
+        "half-resolution shadow march (preview-grade shadow edges). "
+        "Default: high (strict when --config is given, so explicit "
+        "precision overrides are honoured).",
     )
     p.add_argument(
         "--fast",
@@ -98,6 +100,11 @@ def _relighter(args, default_preset: str):
         mesh = make_mesh()
         if getattr(args, "sample_parallel", False):
             parallel = "samples"
+    if parallel != "data" and cfg.render.shadow_resolution_scale > 1:
+        raise SystemExit(
+            "--precision draft marches a pooled sample grid and conflicts "
+            "with --sample-parallel; use --data-parallel instead"
+        )
     return load_relighter(args.checkpoint, cfg=cfg, mesh=mesh, parallel=parallel)
 
 

@@ -155,6 +155,20 @@ class RenderConfig:
     # accumulation -> ~2^-17 relative error, inside that tier's budget).
     shadow_reduce: str = "auto"
 
+    # Draft-mode shadow march resolution divisor (serving turbo; the 'draft'
+    # precision tier sets 2). The march runs on an s x s mean-pooled depth
+    # map with depth, light and the pixel grid all scaled by 1/s, and the
+    # min-distance field is bilinearly upsampled and multiplied back by s.
+    # The scene-scaling identity is exact (shrinking every coordinate by 1/s
+    # shrinks every point-to-line distance by exactly 1/s); the only
+    # approximation is the spatial sampling of the depth/mask fields
+    # (occluder edges move by <= s/2 px) and the interpolation of the
+    # min-distance field across shadow boundaries. 1 = reference-exact
+    # semantics (strict/high/fast tiers). Deviates from the reference by
+    # construction — never used by training or the parity-certification
+    # suite.
+    shadow_resolution_scale: int = 1
+
     def __post_init__(self):
         # The shadow kernels' one-hot mask veto matches round(s) + half_w
         # against integer column indices, which is only exact when half_w /
@@ -167,6 +181,20 @@ class RenderConfig:
                 "img_height and img_width must be even (the shadow veto "
                 f"needs integral half-extents); got {self.img_height}x"
                 f"{self.img_width}"
+            )
+        if self.shadow_resolution_scale not in (1, 2, 4):
+            raise ValueError(
+                "shadow_resolution_scale must be 1, 2 or 4; got "
+                f"{self.shadow_resolution_scale}"
+            )
+        s = 2 * self.shadow_resolution_scale
+        if self.shadow_resolution_scale > 1 and (
+            self.img_height % s or self.img_width % s
+        ):
+            raise ValueError(
+                "img dims must stay even after the draft-march downscale; "
+                f"got {self.img_height}x{self.img_width} at scale "
+                f"{self.shadow_resolution_scale}"
             )
 
     @property
@@ -391,19 +419,33 @@ PRESETS = {
 #             and the bilinear mask veto (max throughput; golden parity
 #             >= 46 dB on every bundled fixture, >= 50 dB on the
 #             transfer-path ones — docs/PARITY_matrix.json).
-PRECISION_TIERS = ("strict", "high", "fast")
+#   'draft'   'fast' plus the shadow march at HALF resolution
+#             (RenderConfig.shadow_resolution_scale=2: ~8x fewer march
+#             FLOPs via the exact scene-scaling identity; shadow-boundary
+#             placement is approximate to ~1 px). Preview/thumbnail
+#             serving; the only tier that changes WHICH computation runs
+#             rather than just its arithmetic precision.
+PRECISION_TIERS = ("strict", "high", "fast", "draft")
 
 
 def apply_precision_tier(cfg: "PipelineConfig", tier: str) -> "PipelineConfig":
     """Return cfg with the given serving-precision tier applied."""
     if tier not in PRECISION_TIERS:
         raise ValueError(f"unknown precision tier: {tier!r} (use one of {PRECISION_TIERS})")
-    shadow = {"strict": "highest", "high": "high", "fast": "default"}[tier]
-    compute = "bfloat16" if tier == "fast" else "float32"
+    shadow = {
+        "strict": "highest", "high": "high", "fast": "default",
+        "draft": "default",
+    }[tier]
+    compute = "float32" if tier in ("strict", "high") else "bfloat16"
+    scale = 2 if tier == "draft" else 1
     return dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, compute_dtype=compute),
-        render=dataclasses.replace(cfg.render, shadow_matmul_precision=shadow),
+        render=dataclasses.replace(
+            cfg.render,
+            shadow_matmul_precision=shadow,
+            shadow_resolution_scale=scale,
+        ),
     )
 
 

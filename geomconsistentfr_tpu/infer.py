@@ -124,6 +124,14 @@ class Relighter:
     ):
         if parallel not in ("data", "samples", "grid"):
             raise ValueError(f"unknown parallel mode: {parallel!r}")
+        if parallel != "data" and cfg.render.shadow_resolution_scale > 1:
+            # The sample-parallel march shards a full-resolution sample grid;
+            # the draft tier marches a different (pooled) grid. Fail at
+            # construction rather than deep inside render().
+            raise ValueError(
+                "the 'draft' tier (shadow_resolution_scale > 1) supports "
+                "parallel='data' only"
+            )
         self.cfg = cfg
         self.variables = variables
         self.use_skips = use_skips

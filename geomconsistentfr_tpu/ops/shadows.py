@@ -464,3 +464,104 @@ def ray_march_min_distance_lights(
     return jax.vmap(ray_march_min_distance, in_axes=(None, None, 0, None))(
         depth, mask, light_points, cfg
     )
+
+
+# ---------------------------------------------------------------------------
+# Draft-mode (reduced-resolution) march: RenderConfig.shadow_resolution_scale
+# ---------------------------------------------------------------------------
+#
+# Scene-scaling identity: shrinking EVERY coordinate of the scene by 1/s —
+# the pixel grid, the depth values and the light point — shrinks every
+# point-to-line distance by exactly 1/s (the march's parametric t grid is
+# scale-invariant: t parameterises the pixel->border segment). So a march on
+# an s x s mean-pooled depth map at depth/s and light/s, upsampled and
+# multiplied back by s, differs from the full march ONLY through the spatial
+# sampling of the depth/mask fields and the interpolation of the min-distance
+# field. No reference counterpart (the reference always marches at full
+# resolution); this is the 'draft' serving tier's turbo. Training never
+# enables it, but the ops themselves (pool / resize) carry exact JAX
+# gradients, so the path stays differentiable.
+#
+# Grid alignment (exact, verified in tests/test_shadows_draft.py): the s x s
+# mean-pool centres sit at full-resolution coordinates s*i + (s-1)/2, which
+# is precisely where jax.image.resize's half-pixel-centres bilinear
+# convention places the low-res samples on upsampling — pooling and resizing
+# a linear field round-trips exactly. The pooled grid's CENTRED coordinates
+# are offset by (s-1)/(2s) from the scaled scene, so the scaled light is
+# shifted by that constant (minus in x, plus in the flipped y) to land on
+# the same physical point.
+
+
+def scaled_render_cfg(cfg: RenderConfig) -> RenderConfig:
+    """The RenderConfig the inner (low-resolution) march runs under."""
+    import dataclasses
+
+    s = cfg.shadow_resolution_scale
+    return dataclasses.replace(
+        cfg,
+        img_height=cfg.img_height // s,
+        img_width=cfg.img_width // s,
+        # (d_low + bias/s) * s = d_full + bias: the gate bias rides the
+        # rescale. (The gate REGION derives from the scaled image bounds,
+        # which tracks the full-resolution region to within one pixel.)
+        shadow_bias=cfg.shadow_bias / s,
+        shadow_resolution_scale=1,
+    )
+
+
+def scale_march_inputs(
+    depth: Array, mask: Array, light_point: Array, cfg: RenderConfig
+) -> tuple[Array, Array, Array, RenderConfig]:
+    """Pool (depth, mask) and scale the light for the draft-mode march.
+
+    Args:
+      depth: (B, H, W) depth in scene units.
+      mask: (B, H, W) face mask (!= 0 means on-face).
+      light_point: (B, 3) light position in centred pixel coords.
+    Returns:
+      (depth/s pooled (B, H/s, W/s), majority-pooled {0,1} mask,
+       scaled+aligned light (B, 3), the scaled RenderConfig).
+    """
+    s = cfg.shadow_resolution_scale
+    b, h, w = depth.shape
+    blocks = depth.reshape(b, h // s, s, w // s, s)
+    on = (mask != 0).astype(depth.dtype).reshape(b, h // s, s, w // s, s)
+    on_count = on.sum(axis=(2, 4))
+    # Mask-weighted depth pooling: a majority-on-face texel averages only
+    # its on-face pixels, so the CNN's arbitrary off-face depth (the masked
+    # training losses never supervise it) cannot pull the pooled occluder
+    # surface along the silhouette. All-off blocks keep the plain mean
+    # (their samples are mask-vetoed; the value only feeds boundary
+    # interpolation taps, like off-face pixels do at full resolution).
+    face_mean = (blocks * on).sum(axis=(2, 4)) / jnp.maximum(on_count, 1.0)
+    depth_h = jnp.where(on_count > 0, face_mean, blocks.mean(axis=(2, 4))) / s
+    mask_h = (on_count >= (s * s) / 2.0).astype(depth.dtype)
+    off = (s - 1.0) / (2.0 * s)
+    light_h = jnp.stack(
+        [
+            light_point[:, 0] / s - off,   # xx = col - W/2 (left-to-right)
+            light_point[:, 1] / s + off,   # yy = H/2 - row (flipped)
+            light_point[:, 2] / s,
+        ],
+        axis=-1,
+    )
+    return depth_h, mask_h, light_h, scaled_render_cfg(cfg)
+
+
+def upscale_min_distance(min_h: Array, cfg: RenderConfig) -> Array:
+    """(B, H/s, W/s) low-res min distances -> (B, H, W) full-scale ones.
+
+    The off-face sentinel (1e6, plus the gate bias where gated) is capped
+    before interpolation and restored after the rescale, so interior
+    off-face pixels read exactly 1e6 like the full-resolution path; within
+    ~s px of the face boundary the blend with the sentinel saturates the
+    pixel to "lit" (the shadow weight there is draft-approximate anyway).
+    """
+    s = cfg.shadow_resolution_scale
+    b = min_h.shape[0]
+    out = jax.image.resize(
+        jnp.minimum(min_h, _OFF_FACE_DISTANCE),
+        (b, cfg.img_height, cfg.img_width),
+        method="bilinear",
+    ) * float(s)
+    return jnp.minimum(out, _OFF_FACE_DISTANCE)

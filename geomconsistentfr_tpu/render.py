@@ -143,6 +143,25 @@ def render(
     ambient_map = jnp.broadcast_to(ambient[:, None, None], depth.shape)
     full_shading = ambient_map + directional
 
+    # Draft mode (RenderConfig.shadow_resolution_scale > 1): march at
+    # reduced resolution under the exact scene-scaling identity — see
+    # ops/shadows.scale_march_inputs. The sample-parallel march_fn closes
+    # over full-resolution kernel dims, so it is incompatible by
+    # construction (use data-parallel serving for the draft tier).
+    scale = cfg.shadow_resolution_scale
+    if scale > 1:
+        if march_fn is not None:
+            raise NotImplementedError(
+                "shadow_resolution_scale > 1 (the 'draft' tier) does not "
+                "support a custom march_fn (sample/grid parallelism); use "
+                "data-parallel serving instead"
+            )
+        m_depth, m_mask, m_light, m_cfg = shadows_ops.scale_march_inputs(
+            depth, mask, light_point, cfg
+        )
+    else:
+        m_depth, m_mask, m_light, m_cfg = depth, mask, light_point, cfg
+
     if march_fn is not None:
         min_distance = march_fn(depth, mask, light_point)
     elif cfg.use_pallas_shadows and _on_tpu():
@@ -151,12 +170,14 @@ def render(
         )
 
         min_distance = ray_march_min_distance_pallas_vjp(
-            depth, mask, light_point, cfg
+            m_depth, m_mask, m_light, m_cfg
         )
     else:
         min_distance = shadows_ops.ray_march_min_distance_batch(
-            depth, mask, light_point, cfg
+            m_depth, m_mask, m_light, m_cfg
         )
+    if scale > 1:
+        min_distance = shadows_ops.upscale_min_distance(min_distance, cfg)
     weights = shadow_weights(min_distance)
     final_shading, rendered = composite(albedo, full_shading, ambient_map, weights)
 

@@ -352,11 +352,14 @@ def main(argv=None) -> int:
                         help="micro-batch size for coalesced /relight requests")
     parser.add_argument("--batch-window-ms", type=float, default=4.0,
                         help="how long to wait for more requests after the first")
-    parser.add_argument("--precision", choices=["strict", "high", "fast"],
+    parser.add_argument("--precision",
+                        choices=["strict", "high", "fast", "draft"],
                         default=None,
                         help="serving precision tier (see config.PRECISION_TIERS); "
                         "default 'high' — matches strict parity on every "
-                        "golden fixture at +12%% throughput")
+                        "golden fixture at +12%% throughput. 'draft' "
+                        "additionally halves the shadow-march resolution "
+                        "(preview-grade shadows, max throughput)")
     parser.add_argument("--fast", action="store_true",
                         help="alias for --precision fast")
     parser.add_argument("--data-parallel", action="store_true",
@@ -389,6 +392,10 @@ def main(argv=None) -> int:
             parser.error("--fast conflicts with --precision " + tier)
         tier = "fast"
     cfg = apply_precision_tier(cfg, tier or "high")
+    if tier == "draft" and (args.sample_parallel or args.grid_parallel):
+        parser.error("--precision draft marches a pooled sample grid and "
+                     "conflicts with --sample-parallel / --grid-parallel; "
+                     "use --data-parallel instead")
     mesh = None
     parallel = "data"
     if args.grid_parallel:

@@ -1,11 +1,11 @@
 """Parity matrix: rendered PSNR for every golden fixture x precision tier.
 
 Runs all four committed golden fixtures (transfer upper-right / bottom-left /
-inside-light + the target-lighting path) through the three shipping serving
-precision tiers (config.apply_precision_tier: strict / high / fast) exactly
-as the CLI/server would configure them, and writes docs/PARITY_matrix.json
-with the rendered PSNR (dB) and shadow-weight MAE per cell, plus the device
-the run executed on.
+inside-light + the target-lighting path) through the shipping serving
+precision tiers (config.apply_precision_tier: strict / high / fast / draft)
+exactly as the CLI/server would configure them, and writes
+docs/PARITY_matrix.json with the rendered PSNR (dB) and shadow-weight MAE per
+cell, plus the device the run executed on.
 
 North star (BASELINE.md): every shipping tier >= 40 dB on every fixture
 class. Reference forward being reproduced:
@@ -66,7 +66,7 @@ def main() -> None:
         kwargs = {"target_light": fx["target_light"]}
         if "target_ambient" in fx:
             kwargs["target_ambient"] = fx["target_ambient"]
-        for tier in ("strict", "high", "fast"):
+        for tier in ("strict", "high", "fast", "draft"):
             cfg = apply_precision_tier(PRESETS[preset](), tier)
             rl = load_relighter(CKPT, cfg=cfg)
             out = rl.forward(fx["image"][None], fx["mask"][None], **kwargs)
