@@ -6,7 +6,9 @@ Relighter over HTTP for deployment behind a load balancer:
   POST /relight    multipart-free JSON body:
       {"image": <base64 PNG>, "mask": <base64 PNG>,
        "light": [lx, ly, lz] | "light_preset": "multipie_14",
-       "ambient": 0.5}
+       "ambient": 0.5, "precision": "draft" (optional per-request tier
+       override — e.g. draft previews and high finals from one process;
+       requests coalesce per tier, each used tier compiles once)}
     -> {"rendered": <base64 PNG>, "shadow_mask": <base64 PNG>}
   POST /estimate   {"image": <base64 PNG>} -> {"direction": [...], "ambient": a}
   POST /transfer   2-pass lighting transfer (test_..._lighting_transfer.py):
@@ -79,6 +81,21 @@ class WorkerDied(RuntimeError):
     """The device worker thread exited; the server cannot serve device work."""
 
 
+def _parse_tier(req: dict):
+    """Validate an optional per-request "precision" field in the handler
+    thread, so a bad value can only 400 its own caller."""
+    tier = req.get("precision")
+    if tier is None:
+        return None
+    from geomconsistentfr_tpu.config import PRECISION_TIERS
+
+    if tier not in PRECISION_TIERS:
+        raise ValueError(
+            f"unknown precision {tier!r} (use one of {PRECISION_TIERS})"
+        )
+    return tier
+
+
 class MicroBatcher:
     """Single device-worker thread: coalesces /relight into padded batches
     and serializes /estimate through the same thread (the exclusive TPU
@@ -98,8 +115,14 @@ class MicroBatcher:
         max_batch: int = 8,
         window_ms: float = 4.0,
         request_timeout_s: float = 120.0,
+        tier_pool=None,
     ):
+        # tier_pool: optional callable tier-name -> Relighter used for
+        # per-request "precision" overrides; only the worker thread calls
+        # it, so a lazily-populated dict inside it needs no locking. The
+        # default relighter serves requests without an override.
         self.relighter = relighter
+        self._tier_pool = tier_pool
         self.max_batch = max_batch
         # Mesh-sharded relighters need every device batch to be a multiple
         # of their batch-axis size (the whole mesh for 'data', the first
@@ -133,9 +156,16 @@ class MicroBatcher:
         self._queue.put((kind, payload, fut))
         return fut
 
-    def submit(self, image, mask, light, ambient):
-        """image (H,W,3), mask (H,W), light (3,), ambient scalar -> outputs."""
-        fut = self._submit("relight", (image, mask, light, ambient))
+    def submit(self, image, mask, light, ambient, tier=None):
+        """image (H,W,3), mask (H,W), light (3,), ambient scalar -> outputs.
+
+        tier: optional precision-tier override (requires tier_pool)."""
+        if tier is not None and self._tier_pool is None:
+            raise ValueError(
+                "per-request precision overrides are not enabled on this "
+                "server"
+            )
+        fut = self._submit("relight", (image, mask, light, ambient, tier))
         return fut.result(timeout=self.request_timeout_s)
 
     def submit_estimate(self, image):
@@ -156,6 +186,7 @@ class MicroBatcher:
                     fut.set_result((unit[0], float(ambient[0])))
                     continue
 
+                tier = payload[4]
                 items = [(payload, fut)]
                 deadline = time.monotonic() + self.window_s
                 while len(items) < self.max_batch:
@@ -166,25 +197,30 @@ class MicroBatcher:
                         k2, p2, f2 = self._queue.get(timeout=timeout)
                     except queue.Empty:
                         break
-                    if k2 == "relight":
+                    if k2 == "relight" and p2[4] == tier:
                         items.append((p2, f2))
                     else:
-                        # Estimates don't batch with relights: requeue behind
-                        # this batch (the worker handles it next iteration).
+                        # Estimates and different-tier relights don't batch
+                        # with this batch: requeue behind it (the worker
+                        # handles them next iteration).
                         self._queue.put((k2, p2, f2))
                         break
-                self._run_relight_batch(items)
+                self._run_relight_batch(items, tier)
             except BaseException as e:  # noqa: BLE001 - never kill the worker
                 if not fut.done():
                     fut.set_exception(
                         e if isinstance(e, Exception) else WorkerDied(repr(e))
                     )
 
-    def _run_relight_batch(self, items):
+    def _run_relight_batch(self, items, tier=None):
         n = len(items)
-        # Fixed-shape buckets keep the number of compiled programs at 2.
+        # Fixed-shape buckets keep the number of compiled programs at 2
+        # (per used precision tier).
         padded = self.min_batch if n <= self.min_batch else self.max_batch
         try:
+            relighter = (
+                self.relighter if tier is None else self._tier_pool(tier)
+            )
             def stack(i):
                 # Images/masks arrive uint8 and stay uint8 (device /255);
                 # lights/ambients are float.
@@ -197,7 +233,7 @@ class MicroBatcher:
             # ~4x less host-link traffic than f32 rendered+weights, and the
             # response encodes these bytes into PNG verbatim anyway.
             pack = np.asarray(
-                self.relighter.forward_visuals(
+                relighter.forward_visuals(
                     stack(0),
                     stack(1),
                     target_light=stack(2),
@@ -255,11 +291,17 @@ def make_handler(relighter, batcher: MicroBatcher | None = None):
                     ambient = np.float32(req.get("ambient", DEFAULT_AMBIENT))
                     if not np.isfinite(ambient):
                         raise ValueError("'ambient' must be finite")
+                    tier = _parse_tier(req)
                     if batcher is not None:
                         rendered, weights = batcher.submit(
-                            image, mask, light, ambient
+                            image, mask, light, ambient, tier=tier
                         )
                     else:
+                        if tier is not None:
+                            raise ValueError(
+                                "per-request 'precision' requires the "
+                                "batching worker"
+                            )
                         pack = np.asarray(
                             relighter.forward_visuals(
                                 image[None], mask[None],
@@ -285,13 +327,20 @@ def make_handler(relighter, batcher: MicroBatcher | None = None):
                     image = _decode_image(req["image"])
                     reference = _decode_image(req["reference"])
                     mask = _decode_image(req["mask"])[..., 0]
+                    tier = _parse_tier(req)
                     if batcher is not None:
                         unit, amb = batcher.submit_estimate(reference)
                         rendered, weights = batcher.submit(
                             image, mask,
                             np.asarray(unit, np.float32), np.float32(amb),
+                            tier=tier,
                         )
                     else:
+                        if tier is not None:
+                            raise ValueError(
+                                "per-request 'precision' requires the "
+                                "batching worker"
+                            )
                         unit_b, amb_b = relighter.estimate_lighting(
                             reference[None]
                         )
@@ -416,8 +465,34 @@ def main(argv=None) -> int:
     relighter = load_relighter(
         args.checkpoint, cfg=cfg, mesh=mesh, parallel=parallel
     )
+
+    # Per-request "precision" overrides share the loaded weights; each used
+    # tier builds (and jit-compiles) its Relighter once, lazily, on the
+    # single worker thread.
+    from geomconsistentfr_tpu.infer import Relighter
+
+    # Requests that explicitly name the server's default tier reuse the
+    # already-compiled relighter instead of building a duplicate.
+    tier_cache: dict = {tier or "high": relighter}
+
+    def tier_pool(t: str):
+        if t not in tier_cache:
+            if t == "draft" and parallel != "data":
+                raise ValueError(
+                    "precision 'draft' marches a pooled sample grid and is "
+                    "unavailable under sample/grid parallelism"
+                )
+            tier_cache[t] = Relighter(
+                apply_precision_tier(PRESETS[args.preset](), t),
+                relighter.variables,
+                mesh=mesh,
+                parallel=parallel,
+            )
+        return tier_cache[t]
+
     batcher = MicroBatcher(
-        relighter, max_batch=args.max_batch, window_ms=args.batch_window_ms
+        relighter, max_batch=args.max_batch, window_ms=args.batch_window_ms,
+        tier_pool=tier_pool,
     )
     server = ThreadingHTTPServer(
         (args.host, args.port), make_handler(relighter, batcher)

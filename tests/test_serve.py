@@ -470,3 +470,88 @@ def test_serving_sample_parallel_mesh():
         server.shutdown()
     finally:
         serve_mod._decode_image = orig
+
+
+def test_per_request_precision_override():
+    """One server process serves multiple precision tiers: an optional
+    "precision" field on /relight routes the request to a lazily-built
+    per-tier Relighter (shared weights); different-tier requests never
+    coalesce into one device batch; bad tiers 400 only their own caller."""
+    from http.server import ThreadingHTTPServer
+
+    from geomconsistentfr_tpu.config import (
+        apply_precision_tier,
+        preset_single_image,
+    )
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.serve import MicroBatcher, make_handler
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=64, img_width=64,
+            num_sample_points=16, t_stop=0.105, march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    relighter = Relighter(cfg, variables)
+
+    built = []
+
+    def tier_pool(t):
+        built.append(t)
+        return Relighter(apply_precision_tier(cfg, t), variables)
+
+    batcher = MicroBatcher(
+        relighter, max_batch=4, window_ms=20.0, tier_pool=tier_pool
+    )
+
+    import geomconsistentfr_tpu.serve as serve_mod
+
+    orig = serve_mod._decode_image
+    serve_mod._decode_image = lambda b64, size=64: orig(b64, size=64)
+    try:
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(relighter, batcher)
+        )
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+
+        rng = np.random.default_rng(11)
+        img = rng.uniform(size=(64, 64, 3))
+        mask = np.ones((64, 64, 3))
+
+        import http.client
+
+        def post(body):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request("POST", "/relight", json.dumps(body))
+            resp = conn.getresponse()
+            return resp.status, json.loads(resp.read())
+
+        base = {"image": _png_b64(img), "mask": _png_b64(mask),
+                "light_preset": "multipie_04"}
+
+        status, default_resp = post(dict(base))
+        assert status == 200, default_resp
+        status, draft_resp = post(dict(base, precision="draft"))
+        assert status == 200, draft_resp
+        assert built == ["draft"]
+        # Same weights, different tier: the rendered bytes may legitimately
+        # differ (half-res march), but both must be valid PNG payloads.
+        assert default_resp["rendered"] and draft_resp["rendered"]
+
+        status, payload = post(dict(base, precision="warp9"))
+        assert status == 400 and "precision" in payload["error"]
+        # The bad request 400'd its own caller only; the worker still serves.
+        status, _ = post(dict(base, precision="draft"))
+        assert status == 200
+        assert built == ["draft", "draft"] or built == ["draft"]
+
+        server.shutdown()
+    finally:
+        serve_mod._decode_image = orig
