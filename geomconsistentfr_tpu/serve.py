@@ -15,6 +15,8 @@ Relighter over HTTP for deployment behind a load balancer:
       {"image": <base64 PNG>, "reference": <base64 PNG>, "mask": <base64 PNG>}
     -> {"rendered": ..., "shadow_mask": ..., "direction": [...], "ambient": a}
   GET  /healthz    -> ok
+  GET  /statz      -> serving counters (requests per endpoint/tier, batch
+                      sizes, device seconds) for dashboards/load balancers
 
 Run: python -m geomconsistentfr_tpu.serve --checkpoint model.pth --port 8400
 
@@ -146,6 +148,19 @@ class MicroBatcher:
         self.window_s = window_ms / 1000.0
         self.request_timeout_s = request_timeout_s
         self._queue: "queue.Queue" = queue.Queue()
+        # Serving counters (GET /statz). Written only by the worker thread;
+        # racy point-in-time reads from handler threads are fine under the
+        # GIL (single dict item reads/writes are atomic).
+        self.stats = {
+            "relight_requests": 0,
+            "estimate_requests": 0,
+            "batches": 0,
+            "batched_rows": 0,       # real rows, excluding padding
+            "padded_rows": 0,        # rows actually sent to the device
+            "device_seconds": 0.0,
+            "errors": 0,
+            "per_tier": {},          # tier -> request count ('' = default)
+        }
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -179,10 +194,13 @@ class MicroBatcher:
             try:
                 if kind == "estimate":
                     # uint8 stays uint8 (device-side /255).
+                    self.stats["estimate_requests"] += 1
+                    t0 = time.monotonic()
                     batch = np.broadcast_to(
                         payload[None], (self.min_batch, *payload.shape)
                     )
                     unit, ambient = self.relighter.estimate_lighting(batch)
+                    self.stats["device_seconds"] += time.monotonic() - t0
                     fut.set_result((unit[0], float(ambient[0])))
                     continue
 
@@ -207,6 +225,7 @@ class MicroBatcher:
                         break
                 self._run_relight_batch(items, tier)
             except BaseException as e:  # noqa: BLE001 - never kill the worker
+                self.stats["errors"] += 1
                 if not fut.done():
                     fut.set_exception(
                         e if isinstance(e, Exception) else WorkerDied(repr(e))
@@ -217,6 +236,14 @@ class MicroBatcher:
         # Fixed-shape buckets keep the number of compiled programs at 2
         # (per used precision tier).
         padded = self.min_batch if n <= self.min_batch else self.max_batch
+        st = self.stats
+        st["relight_requests"] += n
+        st["batches"] += 1
+        st["batched_rows"] += n
+        st["padded_rows"] += padded
+        key = tier or ""
+        st["per_tier"][key] = st["per_tier"].get(key, 0) + n
+        t0 = time.monotonic()
         try:
             relighter = (
                 self.relighter if tier is None else self._tier_pool(tier)
@@ -240,9 +267,11 @@ class MicroBatcher:
                     target_ambient=stack(3),
                 )
             )
+            st["device_seconds"] += time.monotonic() - t0
             for k, (_, fut) in enumerate(items):
                 fut.set_result((pack[k, ..., 0:3], pack[k, ..., 3]))
         except BaseException as e:  # noqa: BLE001 - propagate to each caller
+            st["errors"] += 1
             err = e if isinstance(e, Exception) else WorkerDied(repr(e))
             for _, fut in items:
                 if not fut.done():
@@ -264,6 +293,21 @@ def make_handler(relighter, batcher: MicroBatcher | None = None):
         def do_GET(self):  # noqa: N802
             if self.path == "/healthz":
                 self._json(200, {"status": "ok"})
+            elif self.path == "/statz":
+                if batcher is None:
+                    self._json(200, {"batching": False})
+                    return
+                st = dict(batcher.stats)
+                st["per_tier"] = dict(st["per_tier"])
+                st["batching"] = True
+                st["worker_alive"] = batcher._thread.is_alive()
+                st["queue_depth"] = batcher._queue.qsize()
+                if st["batches"]:
+                    st["mean_batch_rows"] = st["batched_rows"] / st["batches"]
+                    st["padding_overhead"] = (
+                        st["padded_rows"] / max(st["batched_rows"], 1) - 1.0
+                    )
+                self._json(200, st)
             else:
                 self._json(404, {"error": "not found"})
 

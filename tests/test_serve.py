@@ -555,3 +555,79 @@ def test_per_request_precision_override():
         server.shutdown()
     finally:
         serve_mod._decode_image = orig
+
+
+def test_statz_endpoint():
+    """GET /statz reports serving counters: request totals, per-tier counts,
+    batch/padding stats, device seconds, worker liveness."""
+    from http.server import ThreadingHTTPServer
+
+    from geomconsistentfr_tpu.config import (
+        apply_precision_tier,
+        preset_single_image,
+    )
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.serve import MicroBatcher, make_handler
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=64, img_width=64,
+            num_sample_points=16, t_stop=0.105, march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    relighter = Relighter(cfg, variables)
+    batcher = MicroBatcher(
+        relighter, max_batch=4, window_ms=5.0,
+        tier_pool=lambda t: Relighter(apply_precision_tier(cfg, t), variables),
+    )
+
+    import geomconsistentfr_tpu.serve as serve_mod
+
+    orig = serve_mod._decode_image
+    serve_mod._decode_image = lambda b64, size=64: orig(b64, size=64)
+    try:
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(relighter, batcher)
+        )
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+
+        rng = np.random.default_rng(5)
+        img = rng.uniform(size=(64, 64, 3))
+        mask = np.ones((64, 64, 3))
+
+        import http.client
+
+        def post(path, body):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request("POST", path, json.dumps(body))
+            r = conn.getresponse()
+            return r.status, json.loads(r.read())
+
+        base = {"image": _png_b64(img), "mask": _png_b64(mask),
+                "light_preset": "multipie_14"}
+        assert post("/relight", dict(base))[0] == 200
+        assert post("/relight", dict(base, precision="draft"))[0] == 200
+        assert post("/estimate", {"image": _png_b64(img)})[0] == 200
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/statz")
+        r = conn.getresponse()
+        st = json.loads(r.read())
+        assert r.status == 200, st
+        assert st["batching"] and st["worker_alive"]
+        assert st["relight_requests"] == 2
+        assert st["estimate_requests"] == 1
+        assert st["batches"] == 2
+        assert st["per_tier"] == {"": 1, "draft": 1}
+        assert st["device_seconds"] > 0
+        assert st["errors"] == 0
+        server.shutdown()
+    finally:
+        serve_mod._decode_image = orig
