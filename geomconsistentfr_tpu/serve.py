@@ -278,6 +278,35 @@ class MicroBatcher:
                     fut.set_exception(err)
 
 
+def warmup(relighter, batch_sizes=(1, 8), size: int = 256) -> float:
+    """Compile every shape the serving path uses, before traffic arrives.
+
+    Runs one forward_visuals per relight batch bucket and one
+    estimate_lighting at the idle bucket, on zero-filled uint8 inputs (the
+    compiled programs are shape-keyed; values are irrelevant). Returns the
+    wall seconds spent — on TPU with a persistent compile cache this is
+    milliseconds on restart, minutes only on the very first deploy of a new
+    shape/config."""
+    t0 = time.monotonic()
+    light = np.asarray([[0.0, 0.0, 1.0]], np.float32)
+    for b in sorted(set(batch_sizes)):
+        img = np.zeros((b, size, size, 3), np.uint8)
+        msk = np.zeros((b, size, size), np.uint8)
+        np.asarray(
+            relighter.forward_visuals(
+                img, msk,
+                target_light=np.repeat(light, b, 0),
+                target_ambient=np.full((b,), 0.5, np.float32),
+            )
+        )
+    np.asarray(
+        relighter.estimate_lighting(
+            np.zeros((min(batch_sizes), size, size, 3), np.uint8)
+        )[0]
+    )
+    return time.monotonic() - t0
+
+
 def make_handler(relighter, batcher: MicroBatcher | None = None):
     from geomconsistentfr_tpu.lighting_presets import DEFAULT_AMBIENT, LIGHT_PRESETS
 
@@ -455,6 +484,12 @@ def main(argv=None) -> int:
                         "(preview-grade shadows, max throughput)")
     parser.add_argument("--fast", action="store_true",
                         help="alias for --precision fast")
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile the serving shapes (min/max relight "
+                        "batch + estimate) before announcing readiness, so "
+                        "the first request never pays XLA compile latency. "
+                        "Recommended in production; off by default because "
+                        "fresh compiles take minutes on a CPU dev box.")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard device batches across all visible chips "
                         "(--max-batch must be a multiple of the chip count)")
@@ -538,6 +573,11 @@ def main(argv=None) -> int:
         relighter, max_batch=args.max_batch, window_ms=args.batch_window_ms,
         tier_pool=tier_pool,
     )
+    if args.warmup:
+        secs = warmup(
+            relighter, batch_sizes=(batcher.min_batch, args.max_batch)
+        )
+        print(json.dumps({"warmup_seconds": round(secs, 2)}), flush=True)
     server = ThreadingHTTPServer(
         (args.host, args.port), make_handler(relighter, batcher)
     )

@@ -631,3 +631,39 @@ def test_statz_endpoint():
         server.shutdown()
     finally:
         serve_mod._decode_image = orig
+
+
+def test_warmup_compiles_serving_shapes():
+    """serve.warmup runs every serving shape (relight buckets + estimate)
+    so readiness means compiled; subsequent calls at those shapes are
+    cache hits."""
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.serve import warmup
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=64, img_width=64,
+            num_sample_points=16, t_stop=0.105, march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    relighter = Relighter(cfg, variables)
+
+    secs = warmup(relighter, batch_sizes=(1, 2), size=64)
+    assert secs > 0
+    # The shapes warmup visited now serve without retracing: a real request
+    # at the same shapes completes and returns the packed visual layout.
+    rng = np.random.default_rng(3)
+    pack = np.asarray(relighter.forward_visuals(
+        (rng.uniform(size=(2, 64, 64, 3)) * 255).astype(np.uint8),
+        np.ones((2, 64, 64), np.uint8),
+        target_light=np.tile(np.asarray([[0.3, 0.4, 0.86]], np.float32), (2, 1)),
+        target_ambient=np.full((2,), 0.5, np.float32),
+    ))
+    assert pack.shape == (2, 64, 64, 12) and pack.dtype == np.uint8
