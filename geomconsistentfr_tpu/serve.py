@@ -171,6 +171,20 @@ class MicroBatcher:
         self._queue.put((kind, payload, fut))
         return fut
 
+    def drain(self, timeout_s: float = 30.0) -> bool:
+        """Wait until every queued/in-flight device request has resolved.
+
+        Used by graceful shutdown: the HTTP listener stops accepting first,
+        then this blocks (up to timeout_s) while the worker finishes what
+        was already admitted, so no accepted request is dropped. Returns
+        True when the queue fully drained."""
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            if self._queue.unfinished_tasks == 0:
+                return True
+            time.sleep(0.02)
+        return self._queue.unfinished_tasks == 0
+
     def submit(self, image, mask, light, ambient, tier=None):
         """image (H,W,3), mask (H,W), light (3,), ambient scalar -> outputs.
 
@@ -191,6 +205,7 @@ class MicroBatcher:
     def _worker(self):
         while True:
             kind, payload, fut = self._queue.get()
+            gets = 1  # task_done() once per get(), so drain() can observe
             try:
                 if kind == "estimate":
                     # uint8 stays uint8 (device-side /255).
@@ -202,34 +217,39 @@ class MicroBatcher:
                     unit, ambient = self.relighter.estimate_lighting(batch)
                     self.stats["device_seconds"] += time.monotonic() - t0
                     fut.set_result((unit[0], float(ambient[0])))
-                    continue
-
-                tier = payload[4]
-                items = [(payload, fut)]
-                deadline = time.monotonic() + self.window_s
-                while len(items) < self.max_batch:
-                    timeout = deadline - time.monotonic()
-                    if timeout <= 0:
-                        break
-                    try:
-                        k2, p2, f2 = self._queue.get(timeout=timeout)
-                    except queue.Empty:
-                        break
-                    if k2 == "relight" and p2[4] == tier:
-                        items.append((p2, f2))
-                    else:
-                        # Estimates and different-tier relights don't batch
-                        # with this batch: requeue behind it (the worker
-                        # handles them next iteration).
-                        self._queue.put((k2, p2, f2))
-                        break
-                self._run_relight_batch(items, tier)
+                else:
+                    tier = payload[4]
+                    items = [(payload, fut)]
+                    deadline = time.monotonic() + self.window_s
+                    while len(items) < self.max_batch:
+                        timeout = deadline - time.monotonic()
+                        if timeout <= 0:
+                            break
+                        try:
+                            k2, p2, f2 = self._queue.get(timeout=timeout)
+                        except queue.Empty:
+                            break
+                        gets += 1
+                        if k2 == "relight" and p2[4] == tier:
+                            items.append((p2, f2))
+                        else:
+                            # Estimates and different-tier relights don't
+                            # batch with this batch: requeue behind it (the
+                            # worker handles them next iteration).
+                            self._queue.put((k2, p2, f2))
+                            break
+                    self._run_relight_batch(items, tier)
             except BaseException as e:  # noqa: BLE001 - never kill the worker
                 self.stats["errors"] += 1
                 if not fut.done():
                     fut.set_exception(
                         e if isinstance(e, Exception) else WorkerDied(repr(e))
                     )
+            finally:
+                # After futures resolve, so drain() can't report empty while
+                # a request is still unanswered.
+                for _ in range(gets):
+                    self._queue.task_done()
 
     def _run_relight_batch(self, items, tier=None):
         n = len(items)
@@ -484,6 +504,9 @@ def main(argv=None) -> int:
                         "(preview-grade shadows, max throughput)")
     parser.add_argument("--fast", action="store_true",
                         help="alias for --precision fast")
+    parser.add_argument("--drain-timeout-s", type=float, default=30.0,
+                        help="max seconds to wait for in-flight device work "
+                        "after SIGTERM/SIGINT before exiting non-zero")
     parser.add_argument("--warmup", action="store_true",
                         help="compile the serving shapes (min/max relight "
                         "batch + estimate) before announcing readiness, so "
@@ -578,12 +601,35 @@ def main(argv=None) -> int:
             relighter, batch_sizes=(batcher.min_batch, args.max_batch)
         )
         print(json.dumps({"warmup_seconds": round(secs, 2)}), flush=True)
-    server = ThreadingHTTPServer(
+    class GracefulServer(ThreadingHTTPServer):
+        # Join handler threads on server_close(): after the batcher drains,
+        # in-flight handlers still need to WRITE their responses before the
+        # process may exit.
+        daemon_threads = False
+        block_on_close = True
+
+    server = GracefulServer(
         (args.host, args.port), make_handler(relighter, batcher)
     )
+
+    # Graceful drain: SIGTERM (the load balancer's stop signal) closes the
+    # listener first, then waits for every ADMITTED request to resolve and
+    # its response to flush before the process exits — no accepted work is
+    # dropped.
+    import signal
+
+    def _graceful(signum, frame):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
+    signal.signal(signal.SIGINT, _graceful)
+
     print(json.dumps({"serving": f"http://{args.host}:{args.port}"}), flush=True)
-    server.serve_forever()
-    return 0
+    server.serve_forever()          # returns after shutdown()
+    drained = batcher.drain(timeout_s=args.drain_timeout_s)
+    server.server_close()           # joins handler threads (responses flushed)
+    print(json.dumps({"drained": drained}), flush=True)
+    return 0 if drained else 1
 
 
 if __name__ == "__main__":

@@ -667,3 +667,38 @@ def test_warmup_compiles_serving_shapes():
         target_ambient=np.full((2,), 0.5, np.float32),
     ))
     assert pack.shape == (2, 64, 64, 12) and pack.dtype == np.uint8
+
+
+def test_drain_waits_for_inflight_work():
+    """MicroBatcher.drain() returns only after every admitted request has
+    resolved (graceful-shutdown invariant: accepted work is never dropped)."""
+    import time as time_mod
+
+    from geomconsistentfr_tpu.serve import MicroBatcher
+
+    class Slow:
+        mesh = None
+        parallel = "data"
+
+        def forward_visuals(self, images, masks, **kw):
+            time_mod.sleep(0.5)
+            return np.zeros((images.shape[0], 4, 4, 12), np.uint8)
+
+    batcher = MicroBatcher(Slow(), max_batch=2, window_ms=1.0)
+    img = np.zeros((4, 4, 3), np.uint8)
+    msk = np.zeros((4, 4), np.uint8)
+    light = np.zeros(3, np.float32)
+
+    results = []
+    t = threading.Thread(
+        target=lambda: results.append(
+            batcher.submit(img, msk, light, np.float32(0.5))
+        )
+    )
+    t.start()
+    time_mod.sleep(0.05)           # let the worker pick the request up
+    assert batcher.drain(timeout_s=5.0)   # blocks past the 0.5 s device call
+    t.join(timeout=1.0)
+    assert results and results[0][0].shape == (4, 4, 3)
+    # Idle batcher drains immediately.
+    assert batcher.drain(timeout_s=0.1)
