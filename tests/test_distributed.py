@@ -19,7 +19,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_initialize_and_psum():
+def test_two_process_initialize_and_psum(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env.update(
@@ -34,9 +34,14 @@ def test_two_process_initialize_and_psum():
         }
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt_dir = str(tmp_path / "dist_ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
     procs = [
         subprocess.Popen(
-            [sys.executable, "-m", "tests._distributed_child", str(i), str(port)],
+            [
+                sys.executable, "-m", "tests._distributed_child",
+                str(i), str(port), ckpt_dir,
+            ],
             cwd=repo,
             env=env,
             stdout=subprocess.PIPE,
@@ -48,7 +53,7 @@ def test_two_process_initialize_and_psum():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=360)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     finally:
         for p in procs:
@@ -59,3 +64,6 @@ def test_two_process_initialize_and_psum():
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         # 4 devices, values 1..4 -> global psum 10.
         assert f"OK {i} 10.0" in out, f"process {i} output:\n{out}"
+        # Cross-process train step + orbax checkpoint round-trip: the resumed
+        # step's metrics must equal the uninterrupted run's on BOTH processes.
+        assert f"CKPT {i} match" in out, f"process {i} output:\n{out}"
