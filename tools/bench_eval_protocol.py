@@ -34,6 +34,9 @@ def main() -> None:
                         help="bf16 CNN + fast shadow matmuls; default strict f32")
     parser.add_argument("--strict", dest="fast", action="store_false",
                         help="(default)")
+    parser.add_argument("--precision", default=None,
+                        help="serving tier (strict/high/fast/draft); "
+                        "overrides --fast/--strict when given")
     parser.add_argument("--keep", default=None, help="keep outputs here")
     args = parser.parse_args()
 
@@ -79,7 +82,11 @@ def main() -> None:
     gen_s = time.perf_counter() - gen0
 
     cfg = preset_multipie_eval()
-    if args.fast:
+    if args.precision:
+        from geomconsistentfr_tpu.config import apply_precision_tier
+
+        cfg = apply_precision_tier(cfg, args.precision)
+    elif args.fast:
         cfg = dataclasses.replace(
             cfg,
             model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
@@ -107,7 +114,7 @@ def main() -> None:
         "exp": "eval_protocol",
         "images": n,
         "output_files": files,
-        "mode": "fast" if args.fast else "strict",
+        "mode": args.precision or ("fast" if args.fast else "strict"),
         "batch": args.batch,
         "wall_seconds": round(elapsed, 1),
         "images_per_sec_end_to_end": round(n / elapsed, 2),
