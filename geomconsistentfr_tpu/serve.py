@@ -298,6 +298,38 @@ class MicroBatcher:
                     fut.set_exception(err)
 
 
+def make_tier_pool(preset: str, relighter, default_tier: str,
+                   mesh=None, parallel: str = "data"):
+    """Lazy per-tier Relighter factory for per-request precision overrides.
+
+    Shares the already-loaded weights; each used tier builds (and
+    jit-compiles) its Relighter once. Only the single device-worker thread
+    calls the returned function, so the cache dict needs no locking. The
+    server default tier maps to the existing relighter (no duplicate
+    compile)."""
+    from geomconsistentfr_tpu.config import PRESETS, apply_precision_tier
+    from geomconsistentfr_tpu.infer import Relighter
+
+    cache = {default_tier: relighter}
+
+    def tier_pool(t: str):
+        if t not in cache:
+            if t == "draft" and parallel != "data":
+                raise ValueError(
+                    "precision 'draft' marches a pooled sample grid and is "
+                    "unavailable under sample/grid parallelism"
+                )
+            cache[t] = Relighter(
+                apply_precision_tier(PRESETS[preset](), t),
+                relighter.variables,
+                mesh=mesh,
+                parallel=parallel,
+            )
+        return cache[t]
+
+    return tier_pool
+
+
 def warmup(relighter, batch_sizes=(1, 8), size: int = 256) -> float:
     """Compile every shape the serving path uses, before traffic arrives.
 
@@ -568,30 +600,9 @@ def main(argv=None) -> int:
         args.checkpoint, cfg=cfg, mesh=mesh, parallel=parallel
     )
 
-    # Per-request "precision" overrides share the loaded weights; each used
-    # tier builds (and jit-compiles) its Relighter once, lazily, on the
-    # single worker thread.
-    from geomconsistentfr_tpu.infer import Relighter
-
-    # Requests that explicitly name the server's default tier reuse the
-    # already-compiled relighter instead of building a duplicate.
-    tier_cache: dict = {tier or "high": relighter}
-
-    def tier_pool(t: str):
-        if t not in tier_cache:
-            if t == "draft" and parallel != "data":
-                raise ValueError(
-                    "precision 'draft' marches a pooled sample grid and is "
-                    "unavailable under sample/grid parallelism"
-                )
-            tier_cache[t] = Relighter(
-                apply_precision_tier(PRESETS[args.preset](), t),
-                relighter.variables,
-                mesh=mesh,
-                parallel=parallel,
-            )
-        return tier_cache[t]
-
+    tier_pool = make_tier_pool(
+        args.preset, relighter, tier or "high", mesh=mesh, parallel=parallel
+    )
     batcher = MicroBatcher(
         relighter, max_batch=args.max_batch, window_ms=args.batch_window_ms,
         tier_pool=tier_pool,

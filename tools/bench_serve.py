@@ -17,8 +17,6 @@ Prints one JSON line.
 """
 
 import argparse
-import base64
-import io
 import json
 import os
 import sys
@@ -54,26 +52,18 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from geomconsistentfr_tpu.config import (
-        PRESETS,
-        apply_precision_tier,
+    from geomconsistentfr_tpu.config import PRESETS, apply_precision_tier
+    from geomconsistentfr_tpu.infer import load_relighter
+    from geomconsistentfr_tpu.serve import (
+        MicroBatcher,
+        make_handler,
+        make_tier_pool,
+        warmup,
     )
-    from geomconsistentfr_tpu.infer import Relighter, load_relighter
-    from geomconsistentfr_tpu.serve import MicroBatcher, make_handler, warmup
 
     cfg = apply_precision_tier(PRESETS[args.preset](), args.precision)
     relighter = load_relighter(args.checkpoint, cfg=cfg)
-
-    tier_cache = {args.precision: relighter}
-
-    def tier_pool(t):
-        if t not in tier_cache:
-            tier_cache[t] = Relighter(
-                apply_precision_tier(PRESETS[args.preset](), t),
-                relighter.variables,
-            )
-        return tier_cache[t]
-
+    tier_pool = make_tier_pool(args.preset, relighter, args.precision)
     batcher = MicroBatcher(
         relighter, max_batch=args.max_batch, window_ms=args.window_ms,
         tier_pool=tier_pool,
@@ -92,19 +82,14 @@ def main() -> None:
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
-    # One representative request body (256x256 face + mask, PNG-encoded).
-    import imageio.v2 as imageio
+    # One representative request body (256x256 face + mask, PNG-encoded);
+    # serve._encode_image is the same b64-PNG encoder the responses use.
+    from geomconsistentfr_tpu.serve import _encode_image
 
     rng = np.random.default_rng(0)
-
-    def b64_png(arr):
-        buf = io.BytesIO()
-        imageio.imwrite(buf, arr, format="png")
-        return base64.b64encode(buf.getvalue()).decode()
-
-    img = b64_png((rng.uniform(0, 255, (256, 256, 3))).astype(np.uint8))
+    img = _encode_image(rng.uniform(0, 255, (256, 256, 3)).astype(np.uint8))
     yy, xx = np.mgrid[0:256, 0:256]
-    mask = b64_png(
+    mask = _encode_image(
         ((((yy - 128) / 110.0) ** 2 + ((xx - 128) / 90.0) ** 2) < 1)
         .astype(np.uint8) * 255
     )
@@ -160,7 +145,7 @@ def main() -> None:
         per_tier.setdefault(tier, []).append(l)
 
     def pct(xs, p):
-        return round(xs[min(len(xs) - 1, int(p * len(xs)))] * 1000, 1)
+        return round(float(np.percentile(np.asarray(xs), p)) * 1000, 1)
 
     print(json.dumps({
         "requests_ok": len(lats),
@@ -168,12 +153,12 @@ def main() -> None:
         "concurrency": args.concurrency,
         "max_batch": args.max_batch,
         "throughput_rps": round(len(lats) / wall, 2),
-        "latency_ms": {"p50": pct(lats, 0.5), "p90": pct(lats, 0.9),
-                       "p99": pct(lats, 0.99)},
+        "latency_ms": {"p50": pct(lats, 50), "p90": pct(lats, 90),
+                       "p99": pct(lats, 99)},
         "per_tier_p50_ms": {
-            k: pct(sorted(v), 0.5) for k, v in sorted(per_tier.items())
+            k: pct(v, 50) for k, v in sorted(per_tier.items())
         },
-        "statz": {k: v for k, v in batcher.stats.items()},
+        "statz": dict(batcher.stats),
     }))
     if errors:
         print("first error:", errors[0], file=sys.stderr)
