@@ -284,6 +284,10 @@ def cmd_train(args) -> int:
         cfg = load_config(args.config, preset=preset)
     else:
         cfg = PRESETS[preset]()
+    if getattr(args, "precision", None):
+        from geomconsistentfr_tpu.config import apply_precision_tier
+
+        cfg = apply_precision_tier(cfg, args.precision)
     if args.debug_nans:
         from geomconsistentfr_tpu.utils.profiling import debug_nans
 
@@ -625,6 +629,15 @@ def main(argv=None) -> int:
     p = sub.add_parser("train", help="self-supervised GAN training")
     p.add_argument("--preset", default=None)
     p.add_argument("--config", default=None, help="JSON PipelineConfig overrides")
+    p.add_argument(
+        "--precision",
+        choices=["strict", "high", "fast"],
+        default=None,
+        help="training precision tier (config.apply_precision_tier minus "
+        "'draft', which changes the marched computation and is serving-"
+        "only). Default: the preset's strict f32; applied on top of "
+        "--config when both are given.",
+    )
     p.add_argument("--debug-nans", action="store_true", help="jax_debug_nans fault isolation")
     p.add_argument("--profile", action="store_true", help="jax.profiler device traces")
     p.add_argument("--data", default="synthetic", help="cache dir or 'synthetic'")

@@ -447,3 +447,39 @@ def test_grid_parallel_matches_single_device():
     s_single2, m_single2 = single(s_single, batch, (False, False, False, False))
     s_grid2, m_grid2 = grid(s_grid, sharded_batch, (False, False, False, False))
     assert abs(float(m_single2["total"]) - float(m_grid2["total"])) < 2e-3
+
+
+def test_cli_train_precision_flag(tmp_path):
+    """`cli train --precision fast` applies the serving tier on top of the
+    preset/config and runs end to end (one tiny synthetic epoch)."""
+    import json
+
+    from geomconsistentfr_tpu import cli
+
+    cfg_json = {
+        "render": {
+            "img_height": 32, "img_width": 32, "num_sample_points": 16,
+            "t_stop": 0.105, "march_chunk": 16, "use_pallas_shadows": False,
+        },
+        "train": {
+            # The CLI trains over ALL visible devices (the suite pins an
+            # 8-device CPU mesh), so the batch must divide across them.
+            "batch_size": 8, "batches_per_epoch": 1, "log_every_steps": 1,
+            "checkpoint_every_steps": 0,
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg_json))
+    out = tmp_path / "run"
+    rc = cli.main([
+        "train", "--config", str(cfg_path), "--precision", "fast",
+        "--data", "synthetic", "--synthetic-samples", "4",
+        "--epochs", "1", "--out", str(out),
+    ])
+    assert rc == 0
+    assert (out / "losses" / "metrics.csv").exists()
+    # 'draft' is serving-only: the tier changes the marched computation.
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli.main(["train", "--precision", "draft", "--out", str(out)])
