@@ -298,16 +298,17 @@ class MicroBatcher:
                     fut.set_exception(err)
 
 
-def make_tier_pool(preset: str, relighter, default_tier: str,
+def make_tier_pool(cfg, relighter, default_tier: str,
                    mesh=None, parallel: str = "data"):
     """Lazy per-tier Relighter factory for per-request precision overrides.
 
-    Shares the already-loaded weights; each used tier builds (and
-    jit-compiles) its Relighter once. Only the single device-worker thread
-    calls the returned function, so the cache dict needs no locking. The
-    server default tier maps to the existing relighter (no duplicate
-    compile)."""
-    from geomconsistentfr_tpu.config import PRESETS, apply_precision_tier
+    cfg is the server's PipelineConfig (any tier — apply_precision_tier
+    resets every tier-controlled field). Shares the already-loaded weights;
+    each used tier builds (and jit-compiles) its Relighter once. Only the
+    single device-worker thread calls the returned function, so the cache
+    dict needs no locking. The server default tier maps to the existing
+    relighter (no duplicate compile)."""
+    from geomconsistentfr_tpu.config import apply_precision_tier
     from geomconsistentfr_tpu.infer import Relighter
 
     cache = {default_tier: relighter}
@@ -320,7 +321,7 @@ def make_tier_pool(preset: str, relighter, default_tier: str,
                     "unavailable under sample/grid parallelism"
                 )
             cache[t] = Relighter(
-                apply_precision_tier(PRESETS[preset](), t),
+                apply_precision_tier(cfg, t),
                 relighter.variables,
                 mesh=mesh,
                 parallel=parallel,
@@ -601,7 +602,7 @@ def main(argv=None) -> int:
     )
 
     tier_pool = make_tier_pool(
-        args.preset, relighter, tier or "high", mesh=mesh, parallel=parallel
+        cfg, relighter, tier or "high", mesh=mesh, parallel=parallel
     )
     batcher = MicroBatcher(
         relighter, max_batch=args.max_batch, window_ms=args.batch_window_ms,

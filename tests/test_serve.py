@@ -702,3 +702,54 @@ def test_drain_waits_for_inflight_work():
     assert results and results[0][0].shape == (4, 4, 3)
     # Idle batcher drains immediately.
     assert batcher.drain(timeout_s=0.1)
+
+
+def test_tier_pool_mesh_path():
+    """make_tier_pool builds mesh-sharded per-tier relighters (the path the
+    --data-parallel server takes), reuses the default tier, and rejects
+    draft under sample parallelism."""
+    import pytest
+
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.parallel.mesh import make_mesh
+    from geomconsistentfr_tpu.serve import make_tier_pool
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=64, img_width=64,
+            num_sample_points=16, t_stop=0.105, march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    mesh = make_mesh()
+    relighter = Relighter(cfg, variables, mesh=mesh)
+
+    pool = make_tier_pool(cfg, relighter, "high", mesh=mesh)
+    assert pool("high") is relighter          # default tier: no rebuild
+    draft = pool("draft")
+    assert draft.mesh is mesh
+    assert draft.cfg.render.shadow_resolution_scale == 2
+    assert draft.cfg.render.img_height == 64  # tiny cfg preserved
+    assert pool("draft") is draft             # cached
+
+    # Mesh-sharded draft forward actually runs (batch = mesh size).
+    n = mesh.size
+    rng = np.random.default_rng(2)
+    pack = np.asarray(draft.forward_visuals(
+        (rng.uniform(size=(n, 64, 64, 3)) * 255).astype(np.uint8),
+        np.ones((n, 64, 64), np.uint8),
+        target_light=np.tile(np.asarray([[0.3, 0.4, 0.86]], np.float32), (n, 1)),
+        target_ambient=np.full((n,), 0.5, np.float32),
+    ))
+    assert pack.shape == (n, 64, 64, 12) and pack.dtype == np.uint8
+
+    sp_pool = make_tier_pool(cfg, relighter, "high", mesh=mesh,
+                             parallel="samples")
+    with pytest.raises(ValueError, match="draft"):
+        sp_pool("draft")

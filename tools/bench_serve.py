@@ -63,7 +63,7 @@ def main() -> None:
 
     cfg = apply_precision_tier(PRESETS[args.preset](), args.precision)
     relighter = load_relighter(args.checkpoint, cfg=cfg)
-    tier_pool = make_tier_pool(args.preset, relighter, args.precision)
+    tier_pool = make_tier_pool(cfg, relighter, args.precision)
     batcher = MicroBatcher(
         relighter, max_batch=args.max_batch, window_ms=args.window_ms,
         tier_pool=tier_pool,
