@@ -87,9 +87,22 @@ def profile_relight(tier: str, batch: int, trace_dir: str | None):
     light_point = lights * cfg.render.light_distance
 
     def march_only(depth, masks, light_point, salt):
-        return ray_march_min_distance_pallas(
-            depth + salt * 1e-7, masks, light_point, cfg.render
-        ).sum()
+        # Route through the same reduced-resolution path render() uses for
+        # the draft tier (shadow_resolution_scale > 1) so the stage measures
+        # the march that actually executes, not a full-res stand-in.
+        from geomconsistentfr_tpu.ops import shadows as shadows_ops
+
+        d = depth + salt * 1e-7
+        if cfg.render.shadow_resolution_scale > 1:
+            m_depth, m_mask, m_light, m_cfg = shadows_ops.scale_march_inputs(
+                d, masks, light_point, cfg.render
+            )
+        else:
+            m_depth, m_mask, m_light, m_cfg = d, masks, light_point, cfg.render
+        md = ray_march_min_distance_pallas(m_depth, m_mask, m_light, m_cfg)
+        if cfg.render.shadow_resolution_scale > 1:
+            md = shadows_ops.upscale_min_distance(md, cfg.render)
+        return md.sum()
 
     jit_cnn = jax.jit(cnn_only)
     jit_full = jax.jit(full)
