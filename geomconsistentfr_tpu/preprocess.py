@@ -3,12 +3,16 @@
 The reference runs the SFD detector (face_alignment package, separate conda
 env) and then applies fixed crop geometry. The detector is pluggable here —
 any (x1, y1, x2, y2) face box source works — and the geometry is reproduced
-exactly:
-  * pad the image by 50 px on every side (:24-27, boxes shift by +50)
-  * skip faces smaller than 200 px (:38-39)
-  * square crop of side 1.2 * max(w, h) centred on the box centre,
-    shifted down by 0.06 * h (:41-46)
-  * resize to 256x256 (:58)
+exactly (pixel-identical; oracle: tests/oracles/crop_oracle.py):
+  * pad the image by 50 px on every side with cv2.BORDER_DEFAULT, i.e.
+    reflect-101 (:17-24; boxes shift by +50)
+  * skip faces whose SCALED side l = 1.2 * max(w, h) is < 200 px (:37-39 —
+    the guard tests l, not the raw box side)
+  * centre = box centre shifted down by 0.06 * h, then int()-truncated
+    per component (:33-36); half-side = int(l / 2), so the crop side is
+    the even value 2 * int(l / 2) (:40-43)
+  * PIL-style crop (zero fill outside the padded canvas, :48)
+  * cv2.resize of the uint8 crop to 256x256, bilinear (:49)
 
 If the optional `face_alignment` package is installed, `detect_faces_sfd`
 wraps it; otherwise pass boxes explicitly (e.g. from any external detector).
@@ -82,22 +86,27 @@ def crop_face(
     """
     import cv2
 
-    padded = np.pad(
-        image, ((PAD, PAD), (PAD, PAD), (0, 0)), mode="constant"
-    )
+    # cv2.BORDER_DEFAULT == reflect-101, which np.pad calls "reflect"
+    # (edge pixel not repeated) — recrop_CelebA-HQ_images.py:17-24.
+    padded = np.pad(image, ((PAD, PAD), (PAD, PAD), (0, 0)), mode="reflect")
     x1, y1, x2, y2 = [v + PAD for v in box]
     w, h = x2 - x1, y2 - y1
-    if max(w, h) < MIN_FACE:
+    # The reference guard tests the SCALED side (recrop:37-39): faces with
+    # raw max-side in [200/1.2, 200) pass here but would fail a raw test.
+    side = SCALE * max(w, h)
+    if side < MIN_FACE:
         return None
 
-    side = SCALE * max(w, h)
-    cx = (x1 + x2) / 2.0
-    cy = (y1 + y2) / 2.0 + CENTER_SHIFT * h
-    left = int(round(cx - side / 2.0))
-    top = int(round(cy - side / 2.0))
-    side_i = int(round(side))
+    # int() truncation per the reference (recrop:35-36,40-43): centre
+    # components truncate individually; the half-side truncates, so the
+    # crop side is always the even value 2 * int(side / 2).
+    cy = int(y1 + h / 2.0 + CENTER_SHIFT * h)
+    cx = int(x1 + w / 2.0)
+    half = int(side / 2.0)
+    left, top = cx - half, cy - half
+    side_i = 2 * half
 
-    # Clamp to the padded canvas (extra zero-pad if the crop overruns).
+    # PIL Image.crop semantics (recrop:48): zero fill outside the canvas.
     ph, pw = padded.shape[:2]
     pad_l = max(0, -left)
     pad_t = max(0, -top)
@@ -110,6 +119,8 @@ def crop_face(
         left += pad_l
         top += pad_t
     crop = padded[top : top + side_i, left : left + side_i]
+    # uint8 fixed-point bilinear, as the reference resizes BEFORE its
+    # float32 cast (recrop:49) — float-path resizes differ by +-1 LSB.
     return cv2.resize(crop, (out_size, out_size))
 
 
