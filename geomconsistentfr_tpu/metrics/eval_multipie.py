@@ -84,6 +84,12 @@ def evaluate_output_dir(
         if mask.ndim == 3:
             mask = mask[..., 0]
         mask = mask / 255.0
+        if not np.any(mask > 0):
+            # One bad mask would otherwise NaN the aggregate (masked_mse) or
+            # silently contribute 0 (the LPIPS >0-denominator path below).
+            raise ValueError(
+                f"empty face mask: {mask_name!r} — masked metrics undefined"
+            )
 
         mses.append(masked_mse(pred, gt, mask))
         dssims.append(masked_dssim_matlab(pred, gt, mask))

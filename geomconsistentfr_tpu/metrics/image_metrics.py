@@ -23,8 +23,18 @@ def psnr(x: np.ndarray, y: np.ndarray, data_range: float = 1.0) -> float:
     return 10.0 * np.log10(data_range ** 2 / max(mse, 1e-12))
 
 
+def _require_nonempty_mask(mask: np.ndarray) -> None:
+    """Masked metrics divide by sum(mask): an all-zero mask would yield a
+    silent NaN that poisons the whole 862-image aggregate. Fail loudly."""
+    if not np.any(np.asarray(mask) > 0):
+        raise ValueError(
+            "mask is empty (no nonzero pixels); masked metric is undefined"
+        )
+
+
 def masked_mse(pred: np.ndarray, gt: np.ndarray, mask: np.ndarray) -> float:
     """MSE_MP.m protocol: images in [0,1], mask (H,W) in [0,1]."""
+    _require_nonempty_mask(mask)
     m = mask[..., None]
     diff = pred * m - gt * m
     return float(np.sum(np.abs(diff) ** 2) / (3.0 * np.sum(mask)))
@@ -77,6 +87,7 @@ def masked_dssim_matlab(
     pred: np.ndarray, gt: np.ndarray, mask: np.ndarray
 ) -> float:
     """DSSIM_MP_RGB.m protocol: masked mean of the MATLAB ssim map, (1-s)/2."""
+    _require_nonempty_mask(mask)
     ssim_map = matlab_ssim_map(pred, gt)
     m3 = np.repeat(mask[..., None], 3, axis=-1)
     avg = float(np.sum(ssim_map * m3) / np.sum(m3))

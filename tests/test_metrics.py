@@ -150,3 +150,41 @@ def test_golden_drift_report_structure():
         assert entry["preset"] == GOLDEN_FFHQ_PRESETS[stem]
         assert 20.0 < entry["psnr_db"] < 60.0, (stem, entry)
         assert 0.0 <= entry["masked_dssim"] < 0.1, (stem, entry)
+
+
+def test_empty_mask_fails_loudly():
+    """An all-zero mask must raise, not NaN the 862-image aggregate
+    (VERDICT weak #5: silent 0/0 at image_metrics masked means)."""
+    import numpy as np
+    import pytest
+
+    from geomconsistentfr_tpu.metrics import masked_dssim_matlab, masked_mse
+
+    pred = np.random.default_rng(0).random((32, 32, 3))
+    gt = np.random.default_rng(1).random((32, 32, 3))
+    empty = np.zeros((32, 32))
+    with pytest.raises(ValueError, match="empty"):
+        masked_mse(pred, gt, empty)
+    with pytest.raises(ValueError, match="empty"):
+        masked_dssim_matlab(pred, gt, empty)
+
+
+def test_eval_protocol_names_offending_empty_mask(tmp_path):
+    """run_eval names the bad mask file in its error."""
+    import imageio.v2 as imageio
+    import numpy as np
+    import pytest
+
+    from geomconsistentfr_tpu.metrics.eval_multipie import evaluate_output_dir
+
+    out_dir = tmp_path / "out"
+    gt_dir = tmp_path / "gt"
+    mask_dir = tmp_path / "masks"
+    for d in (out_dir, gt_dir, mask_dir):
+        d.mkdir()
+    img = np.zeros((16, 16, 3), np.uint8)
+    imageio.imwrite(out_dir / "00001_rendered_image.png", img)
+    imageio.imwrite(gt_dir / "00001_gt.png", img)
+    imageio.imwrite(mask_dir / "00001_mask.png", np.zeros((16, 16), np.uint8))
+    with pytest.raises(ValueError, match="00001_mask.png"):
+        evaluate_output_dir(str(out_dir), str(gt_dir), str(mask_dir))
