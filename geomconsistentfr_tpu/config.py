@@ -155,6 +155,21 @@ class RenderConfig:
     # accumulation -> ~2^-17 relative error, inside that tier's budget).
     shadow_reduce: str = "auto"
 
+    # Mask-aware march culling: 8-row-aligned pixel groups whose face mask
+    # is entirely zero skip the march and store the all-vetoed sentinel
+    # (1e6, plus the gate bias where gated) instead. EXACT for every
+    # reference-visible surface — the eval dump multiplies all six outputs
+    # by the mask (test_raytracing_...py:601-608), the single-image test
+    # pastes through the mask, training losses are mask-normalised and the
+    # composite discards off-face renders — because culled pixels are a
+    # subset of mask==0 pixels and their loss cotangents are exactly zero.
+    # Only the RAW min-distance/shadow-weight arrays change, at pixels
+    # whose whole 8-row group is off-face (their rays can cross the face,
+    # so the uncull'd march may assign them a real distance nothing ever
+    # consumes). The precision tiers enable this; the bare default stays
+    # off so raw arrays match the reference everywhere.
+    shadow_mask_cull: bool = False
+
     # Draft-mode shadow march resolution divisor (serving turbo; the 'draft'
     # precision tier sets 2). The march runs on an s x s mean-pooled depth
     # map with depth, light and the pixel grid all scaled by 1/s, and the
@@ -445,6 +460,9 @@ def apply_precision_tier(cfg: "PipelineConfig", tier: str) -> "PipelineConfig":
             cfg.render,
             shadow_matmul_precision=shadow,
             shadow_resolution_scale=scale,
+            # Exact on every masked surface (see RenderConfig); all tiers
+            # skip the march for fully-off-face 8-row groups.
+            shadow_mask_cull=True,
         ),
     )
 

@@ -303,6 +303,24 @@ def sample_distance_at_matmul(
     return jnp.where(on_face == 0, _OFF_FACE_DISTANCE, distances)
 
 
+def cull_live_rows(mask: Array) -> Array:
+    """(H, W) mask -> (H,) bool: row belongs to an 8-row group with any face.
+
+    The cull granularity is a FIXED 8-row-aligned group (one sublane tile),
+    independent of kernel slab tiling, so the culled pixel set is identical
+    across the pure-XLA path and the Pallas kernel at any slab size.
+    """
+    h = mask.shape[0]
+    row_any = (mask != 0).any(axis=1)
+    pad = (-h) % 8
+    if pad:
+        row_any = jnp.concatenate(
+            [row_any, jnp.zeros((pad,), row_any.dtype)]
+        )
+    group_any = row_any.reshape(-1, 8).any(axis=1)
+    return jnp.repeat(group_any, 8)[:h]
+
+
 def ray_march_min_distance(
     depth: Array,
     mask: Array,
@@ -433,6 +451,19 @@ def ray_march_min_distance(
         min_distance, t_star = carry_out
     else:
         min_distance = carry_out
+
+    if cfg.shadow_mask_cull:
+        # Semantic reference for the Pallas kernel's slab skip: pixels in
+        # fully-off-face 8-row-aligned groups read the all-vetoed sentinel
+        # (see RenderConfig.shadow_mask_cull for the exactness argument).
+        # This path selects rather than skips — it is the oracle, not the
+        # optimisation.
+        live = cull_live_rows(mask)[:, None]
+        min_distance = jnp.where(
+            live, min_distance, jnp.asarray(_OFF_FACE_DISTANCE, dtype)
+        )
+        if return_argmin_t:
+            t_star = jnp.where(live, t_star, t_chunks[0, 0].astype(dtype))
 
     if cfg.shadow_bias_gate != "none":
         gate = _bias_gate(light_x, light_y, cfg)

@@ -56,18 +56,24 @@ _OFF_FACE_N2 = 1.0e30
 def _march_kernel(
     ts_ref,           # (S, 1) f32 SMEM: sample offsets
     light_ref,        # (B, 3) f32 SMEM: light points (indexed by program_id 0)
-    operand_t_ref,    # (1, W, H) depth^T — or (1, W, 2H) [depth^T|indicator^T] in hat mode
-    depth_tile_ref,   # (1, TILE, W) f32 VMEM: this tile's own depth rows
-    *rest_refs,       # [indicator_t_ref (onehot mode)], out_ref, [tstar_ref (training)]
+    *rest_refs,       # [rowany_ref (cull)], operand_t, depth_tile,
+                      # [indicator_t_ref (onehot mode)], out_ref,
+                      # [tstar_ref (training)]
     cfg: RenderConfig,
     tile_rows: int,
     precision,
     unroll: int,
     mask_mode: str,
     want_tstar: bool,
+    cull: bool,
 ):
     mask_hat = mask_mode == "hat"
     rest = list(rest_refs)
+    # (B, H8) i32 SMEM: per-row any-face flags (8-padded), cull mode only.
+    rowany_ref = rest.pop(0) if cull else None
+    operand_t_ref = rest.pop(0)   # (1, W, H) depth^T — or (1, W, 2H)
+                                  # [depth^T|indicator^T] in hat mode
+    depth_tile_ref = rest.pop(0)  # (1, TILE, W) f32 VMEM: this tile's rows
     indicator_t_ref = None if mask_hat else rest.pop(0)
     out_ref = rest.pop(0)
     tstar_ref = rest.pop(0) if want_tstar else None
@@ -394,10 +400,31 @@ def _march_kernel(
         n2 = cx * cx + cy * cy + cz * cz
         return jnp.where(on_face == 0.0, _OFF_FACE_N2, n2)
 
-    def store_slab(k, min_n2, s_star, denom):
+    def slab_live(k):
+        """Scalar i32: does this slab's 8-row-aligned group have any face?
+
+        Group membership is computed from FIXED 8-row-aligned boundaries
+        (matching shadows.cull_live_rows), so the culled pixel set does not
+        depend on slab tiling; a 4-row slab reads its parent group's flags.
+        """
+        lo = (k * sub // 8) * 8
+        hi = -((k * sub + sub) // -8) * 8
+        flag = rowany_ref[img, row0 + lo]
+        for i in range(lo + 1, hi):
+            flag = flag | rowany_ref[img, row0 + i]
+        return flag
+
+    def store_slab(k, min_n2, s_star, denom, live=None):
         min_d = jnp.sqrt(min_n2 + _EPS) / denom
         # Off-face sentinel: reproduce the exact 1e6 constant (:490).
         min_d = jnp.where(min_n2 >= _OFF_FACE_N2, _OFF_FACE, min_d)
+        if live is not None:
+            # Culled slab: the all-vetoed sentinel, independent of whether
+            # the step loop was skipped (trip count 0) or ran (interleave
+            # mode only forces outputs).
+            min_d = jnp.where(live > 0, min_d, _OFF_FACE)
+            if s_star is not None:
+                s_star = jnp.where(live > 0, s_star, 0)
         if gate is not None:
             min_d = min_d + jnp.where(gate, cfg.shadow_bias, 0.0).astype(
                 min_d.dtype
@@ -442,10 +469,15 @@ def _march_kernel(
         finals = jax.lax.fori_loop(0, ts_ref.shape[0], step_all, init,
                                    unroll=unroll)
         for k in range(n_sub):
+            # Interleave mode shares one step loop across slabs, so culled
+            # slabs cannot skip it; only their outputs are forced.
+            live = slab_live(k) if cull else None
             if tstar_ref is None:
-                store_slab(k, finals[k], None, consts[k]["denom"])
+                store_slab(k, finals[k], None, consts[k]["denom"], live)
             else:
-                store_slab(k, finals[k][0], finals[k][1], consts[k]["denom"])
+                store_slab(
+                    k, finals[k][0], finals[k][1], consts[k]["denom"], live
+                )
     else:
         for k in range(n_sub):
             c = slab_consts(k)
@@ -461,17 +493,27 @@ def _march_kernel(
                     jnp.where(n2 < min_acc, s, sbest),
                 )
 
-            if tstar_ref is None:
-                min_n2 = jax.lax.fori_loop(
-                    0, ts_ref.shape[0], step, init_min, unroll=unroll
-                )
-                store_slab(k, min_n2, None, c["denom"])
+            live = None
+            n_steps = ts_ref.shape[0]
+            if cull:
+                # Culled slab -> trip count 0: the loop is skipped entirely
+                # and the init carry (inf / index 0) flows to store_slab,
+                # whose sentinel substitution produces the all-vetoed value.
+                # A dynamic trip count cannot unroll; culling is therefore
+                # restricted to unroll == 1 at the call site.
+                live = slab_live(k)
+                n_steps = jnp.where(live > 0, n_steps, 0)
+
+            init = init_min if tstar_ref is None else (init_min, init_t)
+            if cull:
+                final = jax.lax.fori_loop(0, n_steps, step, init)
             else:
-                min_n2, s_star = jax.lax.fori_loop(
-                    0, ts_ref.shape[0], step, (init_min, init_t),
-                    unroll=unroll,
-                )
-                store_slab(k, min_n2, s_star, c["denom"])
+                final = jax.lax.fori_loop(0, n_steps, step, init,
+                                          unroll=unroll)
+            if tstar_ref is None:
+                store_slab(k, final, None, c["denom"], live)
+            else:
+                store_slab(k, final[0], final[1], c["denom"], live)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -648,6 +690,24 @@ def ray_march_min_distance_pallas(
     indicator_t = pad_batch(indicator_t)
     light2d = jnp.concatenate([light2d, jnp.zeros((1, 3), jnp.float32)], axis=0)
 
+    cull = bool(cfg.shadow_mask_cull)
+    rowany_in = None
+    if cull:
+        if tile_rows % 8:
+            raise ValueError(
+                "shadow_mask_cull needs 8-row-aligned tiles "
+                f"(tile_rows={tile_rows})"
+            )
+        # Per-row any-face flags, 8-padded so the kernel's group reads stay
+        # in bounds; i32 scalars in SMEM (one OR-tree read per slab).
+        row_any = (mask != 0).any(axis=2)
+        hpad = (-h) % 8
+        if hpad:
+            row_any = jnp.concatenate(
+                [row_any, jnp.zeros((b, hpad), row_any.dtype)], axis=1
+            )
+        rowany_in = pad_batch(row_any.astype(jnp.int32))
+
     precision = {
         "highest": jax.lax.Precision.HIGHEST,
         "high": "high",  # manual bf16x3 split inside the kernel
@@ -679,6 +739,7 @@ def ray_march_min_distance_pallas(
         unroll=cfg.shadow_unroll,
         mask_mode=mask_mode,
         want_tstar=return_argmin_t,
+        cull=cull,
     )
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -704,6 +765,9 @@ def ray_march_min_distance_pallas(
             tile_block,
             pl.BlockSpec((1, w, h), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
+    if cull:
+        inputs.insert(2, rowany_in)
+        in_specs.insert(2, smem)
 
     # The argmin offset t* is only produced for the training path; inference
     # skips its carry/select/store entirely. The kernel emits the compact
