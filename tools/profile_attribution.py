@@ -127,7 +127,14 @@ def profile_relight(tier: str, batch: int, trace_dir: str | None):
     # and 8-row slab the kernel issues 2 gather matmuls of
     # (8*W, W) @ (W, H) — the hat-weighted depth gather and the indicator
     # gather — i.e. 2 * 2 * 8 * W^2 * H FLOPs; reduce matvecs are <0.5%.
+    # The draft tier marches at the SCALED resolution (W/s x H/s), so the
+    # analytic count must use the inner march's config or draft MFU is
+    # overcounted ~s^4-fold.
     r = cfg.render
+    if r.shadow_resolution_scale > 1:
+        from geomconsistentfr_tpu.ops import shadows as shadows_ops
+
+        r = shadows_ops.scaled_render_cfg(r)
     per_step_slab = 2 * 2 * 8 * r.img_width**2 * r.img_height
     n_slabs = r.img_height // 8
     res["march_flops_algorithmic"] = float(
