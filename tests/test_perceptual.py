@@ -308,3 +308,40 @@ def test_2afc_trainer_lr_decay():
     trainer = LPIPS2AFCTrainer(allow_random_trunk=True, lr=1e-3, seed=0)
     assert trainer.decay_learning_rate(10) == pytest.approx(9e-4)
     assert trainer.decay_learning_rate(10) == pytest.approx(8e-4)
+
+
+def test_lpips_delta_artifact_protocol(tmp_path):
+    """CI-sized version of tools/lpips_delta.py: the eval harness's masked
+    LPIPS (>0 denominator) agrees with the torch transcription to < 1e-3
+    per image under shared trunk weights + reference lin heads."""
+    import imageio.v2 as imageio
+    import jax
+
+    from geomconsistentfr_tpu.metrics.eval_multipie import evaluate_output_dir
+    from geomconsistentfr_tpu.models.lpips import LPIPSMetric
+    from tests.oracles.lpips_torch_oracle import lpips_spatial_torch
+    from tools.lpips_delta import build_protocol_dump
+
+    rng = np.random.default_rng(5)
+    out_dir, gt_dir, mask_dir = build_protocol_dump(str(tmp_path), 2, rng)
+    metric = LPIPSMetric(net="alex", allow_random_trunk=True)
+    harness = evaluate_output_dir(out_dir, gt_dir, mask_dir, lpips_fn=metric)
+
+    params = metric._variables["params"]
+    trunk = jax.tree.map(np.asarray, dict(params["trunk"]))
+    lins = {k: jax.tree.map(np.asarray, dict(v))
+            for k, v in params.items() if k.startswith("lin")}
+    import os as _os
+    torch_means = []
+    for pred_name, gt_name, mask_name in zip(
+        sorted(f for f in _os.listdir(out_dir) if "_rendered_image" in f),
+        sorted(_os.listdir(gt_dir)),
+        sorted(_os.listdir(mask_dir)),
+    ):
+        pred = np.asarray(imageio.imread(f"{out_dir}/{pred_name}"), np.float64) / 255
+        gt = np.asarray(imageio.imread(f"{gt_dir}/{gt_name}"), np.float64) / 255
+        mask = np.asarray(imageio.imread(f"{mask_dir}/{mask_name}"), np.float64) / 255
+        d = lpips_spatial_torch(gt.astype(np.float32), pred.astype(np.float32),
+                                trunk, lins, net="alex")
+        torch_means.append(float(np.sum(mask * d)) / max(float(np.sum((mask * d) > 0)), 1.0))
+    assert abs(harness["masked_lpips_mean"] - float(np.mean(torch_means))) < 1e-3
