@@ -100,11 +100,6 @@ def _relighter(args, default_preset: str):
         mesh = make_mesh()
         if getattr(args, "sample_parallel", False):
             parallel = "samples"
-    if parallel != "data" and cfg.render.shadow_resolution_scale > 1:
-        raise SystemExit(
-            "--precision draft marches a pooled sample grid and conflicts "
-            "with --sample-parallel; use --data-parallel instead"
-        )
     return load_relighter(args.checkpoint, cfg=cfg, mesh=mesh, parallel=parallel)
 
 

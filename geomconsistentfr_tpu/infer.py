@@ -124,14 +124,6 @@ class Relighter:
     ):
         if parallel not in ("data", "samples", "grid"):
             raise ValueError(f"unknown parallel mode: {parallel!r}")
-        if parallel != "data" and cfg.render.shadow_resolution_scale > 1:
-            # The sample-parallel march shards a full-resolution sample grid;
-            # the draft tier marches a different (pooled) grid. Fail at
-            # construction rather than deep inside render().
-            raise ValueError(
-                "the 'draft' tier (shadow_resolution_scale > 1) supports "
-                "parallel='data' only"
-            )
         self.cfg = cfg
         self.variables = variables
         self.use_skips = use_skips
@@ -271,19 +263,29 @@ class Relighter:
                 shadows_ops.sharded_sample_ts(rcfg, n_sample_shards)
             )
             on_tpu = _on_tpu()
+            # Draft tier: render() hands the march_fn the POOLED inputs, so
+            # the kernel runs under the scaled config. The t grid is scale-
+            # invariant (it parameterises the pixel->border segment), so the
+            # sharded slices above need no change and the pmin combine stays
+            # exact at any resolution.
+            mcfg = (
+                shadows_ops.scaled_render_cfg(rcfg)
+                if rcfg.shadow_resolution_scale > 1
+                else rcfg
+            )
 
             def _march_sp(depth, mask, light_point, ts_local):
-                if rcfg.use_pallas_shadows and on_tpu:
+                if mcfg.use_pallas_shadows and on_tpu:
                     from geomconsistentfr_tpu.ops.shadows_pallas import (
                         ray_march_min_distance_pallas,
                     )
 
                     local = ray_march_min_distance_pallas(
-                        depth, mask, light_point, rcfg, ts=ts_local
+                        depth, mask, light_point, mcfg, ts=ts_local
                     )
                 else:
                     local = shadows_ops.ray_march_min_distance_batch(
-                        depth, mask, light_point, rcfg, ts=ts_local
+                        depth, mask, light_point, mcfg, ts=ts_local
                     )
                 return jax.lax.pmin(local, axis)
 

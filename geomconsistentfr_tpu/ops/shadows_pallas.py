@@ -493,27 +493,36 @@ def _march_kernel(
                     jnp.where(n2 < min_acc, s, sbest),
                 )
 
-            live = None
-            n_steps = ts_ref.shape[0]
-            if cull:
-                # Culled slab -> trip count 0: the loop is skipped entirely
-                # and the init carry (inf / index 0) flows to store_slab,
-                # whose sentinel substitution produces the all-vetoed value.
-                # A dynamic trip count cannot unroll; culling is therefore
-                # restricted to unroll == 1 at the call site.
-                live = slab_live(k)
-                n_steps = jnp.where(live > 0, n_steps, 0)
-
             init = init_min if tstar_ref is None else (init_min, init_t)
-            if cull:
-                final = jax.lax.fori_loop(0, n_steps, step, init)
-            else:
-                final = jax.lax.fori_loop(0, n_steps, step, init,
+
+            def run_and_store(k=k, c=c, step=step, init=init):
+                final = jax.lax.fori_loop(0, ts_ref.shape[0], step, init,
                                           unroll=unroll)
-            if tstar_ref is None:
-                store_slab(k, final, None, c["denom"], live)
+                if tstar_ref is None:
+                    store_slab(k, final, None, c["denom"])
+                else:
+                    store_slab(k, final[0], final[1], c["denom"])
+
+            if not cull:
+                run_and_store()
             else:
-                store_slab(k, final[0], final[1], c["denom"], live)
+                # Culled slab -> skip the whole step loop. The loop stays
+                # STATIC inside a pl.when branch: a dynamic trip count was
+                # measured to defeat Mosaic's loop scheduling (draft-tier
+                # 128^2 march dropped 103 -> 80 img/s); branch + static
+                # loop keeps the uncull'd path's schedule.
+                live = slab_live(k)
+                pl.when(live > 0)(run_and_store)
+
+                def store_sentinel(k=k, c=c):
+                    # init carry (inf / index 0) -> store_slab's sentinel
+                    # substitution emits the all-vetoed 1e6 (+ gate bias).
+                    if tstar_ref is None:
+                        store_slab(k, init_min, None, c["denom"])
+                    else:
+                        store_slab(k, init_min, init_t, c["denom"])
+
+                pl.when(live == 0)(store_sentinel)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -97,7 +97,12 @@ def render(
       march_fn: optional override of the shadow-march dispatch,
         (depth (B,H,W), mask, light_point (B,3)) -> min_distance (B,H,W).
         Used by the sample-parallel mesh path (infer.py), which marches a
-        per-device slice of the sample grid and pmin-combines.
+        per-device slice of the sample grid and pmin-combines. It receives
+        the MARCH-resolution inputs: at shadow_resolution_scale > 1 (draft
+        tier) these are the pooled/scaled tensors, and the march_fn must
+        close over the correspondingly scaled RenderConfig
+        (ops/shadows.scaled_render_cfg); the t grid itself is
+        scale-invariant, so sharded sample slices work unchanged.
     """
     b, h, w = depth.shape
     f = cfg.focal_length
@@ -145,17 +150,12 @@ def render(
 
     # Draft mode (RenderConfig.shadow_resolution_scale > 1): march at
     # reduced resolution under the exact scene-scaling identity — see
-    # ops/shadows.scale_march_inputs. The sample-parallel march_fn closes
-    # over full-resolution kernel dims, so it is incompatible by
-    # construction (use data-parallel serving for the draft tier).
+    # ops/shadows.scale_march_inputs. A custom march_fn (sample/grid
+    # parallelism) receives the scaled inputs and must close over the
+    # scaled config; its pmin combine stays exact because the t grid is
+    # scale-invariant.
     scale = cfg.shadow_resolution_scale
     if scale > 1:
-        if march_fn is not None:
-            raise NotImplementedError(
-                "shadow_resolution_scale > 1 (the 'draft' tier) does not "
-                "support a custom march_fn (sample/grid parallelism); use "
-                "data-parallel serving instead"
-            )
         m_depth, m_mask, m_light, m_cfg = shadows_ops.scale_march_inputs(
             depth, mask, light_point, cfg
         )
@@ -163,7 +163,7 @@ def render(
         m_depth, m_mask, m_light, m_cfg = depth, mask, light_point, cfg
 
     if march_fn is not None:
-        min_distance = march_fn(depth, mask, light_point)
+        min_distance = march_fn(m_depth, m_mask, m_light)
     elif cfg.use_pallas_shadows and _on_tpu():
         from geomconsistentfr_tpu.ops.shadows_pallas import (
             ray_march_min_distance_pallas_vjp,

@@ -315,11 +315,6 @@ def make_tier_pool(cfg, relighter, default_tier: str,
 
     def tier_pool(t: str):
         if t not in cache:
-            if t == "draft" and parallel != "data":
-                raise ValueError(
-                    "precision 'draft' marches a pooled sample grid and is "
-                    "unavailable under sample/grid parallelism"
-                )
             cache[t] = Relighter(
                 apply_precision_tier(cfg, t),
                 relighter.variables,
@@ -576,10 +571,6 @@ def main(argv=None) -> int:
             parser.error("--fast conflicts with --precision " + tier)
         tier = "fast"
     cfg = apply_precision_tier(cfg, tier or "high")
-    if tier == "draft" and (args.sample_parallel or args.grid_parallel):
-        parser.error("--precision draft marches a pooled sample grid and "
-                     "conflicts with --sample-parallel / --grid-parallel; "
-                     "use --data-parallel instead")
     mesh = None
     parallel = "data"
     if args.grid_parallel:

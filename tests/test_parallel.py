@@ -264,3 +264,55 @@ def test_relighter_grid_parallel_matches_single_device():
 
     with pytest.raises(ValueError, match="2-D"):
         Relighter(cfg, variables, mesh=make_mesh(), parallel="grid")
+
+
+def test_relighter_draft_sample_parallel_matches_single_device():
+    """Draft tier x sample parallelism: the two fastest serving features
+    compose. render() hands the sample-sharded march the pooled inputs and
+    the march closes over the scaled config; pmin stays exact at any
+    resolution (the t grid is scale-invariant), so the sharded draft forward
+    equals the single-device draft forward."""
+    import dataclasses
+
+    from geomconsistentfr_tpu.config import apply_precision_tier, preset_single_image
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.parallel.mesh import make_mesh
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=32, img_width=32,
+            num_sample_points=12, t_stop=0.085, march_chunk=12,
+            use_pallas_shadows=False,
+        ),
+    )
+    cfg = apply_precision_tier(cfg, "draft")
+    assert cfg.render.shadow_resolution_scale == 2
+
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    mesh = make_mesh()
+
+    rl1 = Relighter(cfg, variables)
+    rln = Relighter(cfg, variables, mesh=mesh, parallel="samples")
+
+    rng = np.random.default_rng(13)
+    img = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+    mask = np.zeros((2, 32, 32), np.float32)
+    mask[:, 6:28, 4:26] = 1.0  # face-like block; leaves cullable row groups
+    light = rng.normal(size=(2, 3)).astype(np.float32)
+    light[:, 2] = np.abs(light[:, 2]) + 0.3
+    light /= np.linalg.norm(light, axis=1, keepdims=True)
+    amb = np.full((2,), 0.5, np.float32)
+
+    out1 = rl1.forward(img, mask, target_light=light, target_ambient=amb)
+    outn = rln.forward(img, mask, target_light=light, target_ambient=amb)
+    np.testing.assert_allclose(
+        np.asarray(out1.min_distance), np.asarray(outn.min_distance),
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1.rendered), np.asarray(outn.rendered), atol=5e-4
+    )

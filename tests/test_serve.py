@@ -706,10 +706,8 @@ def test_drain_waits_for_inflight_work():
 
 def test_tier_pool_mesh_path():
     """make_tier_pool builds mesh-sharded per-tier relighters (the path the
-    --data-parallel server takes), reuses the default tier, and rejects
-    draft under sample parallelism."""
-    import pytest
-
+    --data-parallel server takes), reuses the default tier, and builds a
+    sample-parallel draft relighter (pooled march, pmin-sharded)."""
     from geomconsistentfr_tpu.config import preset_single_image
     from geomconsistentfr_tpu.infer import Relighter
     from geomconsistentfr_tpu.models.relightnet import RelightNet
@@ -751,5 +749,12 @@ def test_tier_pool_mesh_path():
 
     sp_pool = make_tier_pool(cfg, relighter, "high", mesh=mesh,
                              parallel="samples")
-    with pytest.raises(ValueError, match="draft"):
-        sp_pool("draft")
+    draft_sp = sp_pool("draft")
+    assert draft_sp.parallel == "samples"
+    out = draft_sp.forward(
+        rng.uniform(size=(1, 64, 64, 3)).astype(np.float32),
+        np.ones((1, 64, 64), np.float32),
+        target_light=np.asarray([[0.3, 0.4, 0.86]], np.float32),
+        target_ambient=np.full((1,), 0.5, np.float32),
+    )
+    assert np.isfinite(np.asarray(out.rendered)).all()

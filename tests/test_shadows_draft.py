@@ -161,7 +161,11 @@ def test_render_dispatches_draft_scale():
     )
 
 
-def test_render_draft_rejects_custom_march_fn():
+def test_render_draft_march_fn_gets_scaled_inputs():
+    """A custom march_fn (the sample/grid-parallel hook) composes with the
+    draft tier: render() hands it the POOLED inputs at the scaled resolution
+    and upscales its output, so a pmin-sharded march slots in unchanged
+    (the t grid is scale-invariant)."""
     from geomconsistentfr_tpu.render import render
 
     cfg = dataclasses.replace(
@@ -171,12 +175,27 @@ def test_render_draft_rejects_custom_march_fn():
     depth, mask, lights = _smooth_scene(b=1)
     albedo = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.5
     lighting = jnp.asarray([[0.4, 0.3, 0.4, 0.866]], jnp.float32)
-    with pytest.raises(NotImplementedError, match="draft"):
-        render(
-            albedo, depth, lighting, mask, cfg,
-            target_light=lights[:1], target_ambient=jnp.asarray([0.5]),
-            march_fn=lambda d, m, l: jnp.zeros_like(d),
-        )
+    seen = {}
+
+    def march_fn(d, m, lp):
+        seen["shape"] = d.shape
+        mcfg = S.scaled_render_cfg(cfg)
+        return S.ray_march_min_distance_batch(d, m, lp, mcfg)
+
+    got = render(
+        albedo, depth, lighting, mask, cfg,
+        target_light=lights[:1], target_ambient=jnp.asarray([0.5]),
+        march_fn=march_fn,
+    )
+    assert seen["shape"] == (1, 32, 32)  # pooled march resolution
+    want = render(
+        albedo, depth, lighting, mask, cfg,
+        target_light=lights[:1], target_ambient=jnp.asarray([0.5]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.min_distance), np.asarray(want.min_distance),
+        rtol=1e-5, atol=1e-5,
+    )
 
 
 def test_precision_tier_draft_plumbing():
@@ -245,10 +264,26 @@ def test_golden_draft_psnr():
     assert psnr >= 43.0, f"draft-tier PSNR {psnr:.2f} dB"
 
 
-def test_relighter_rejects_sample_parallel_draft():
+def test_relighter_accepts_sample_parallel_draft():
+    """Draft composes with sample parallelism since round 4 (render hands
+    the sharded march the pooled inputs; see
+    tests/test_parallel.py::test_relighter_draft_sample_parallel_matches_
+    single_device for the numerical equivalence)."""
     from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
     from geomconsistentfr_tpu.parallel.mesh import make_mesh
 
+    import dataclasses as _dc
+
     cfg = apply_precision_tier(PipelineConfig(), "draft")
-    with pytest.raises(ValueError, match="draft"):
-        Relighter(cfg, variables={}, mesh=make_mesh(), parallel="samples")
+    cfg = _dc.replace(
+        cfg,
+        render=_dc.replace(
+            cfg.render, img_height=32, img_width=32, num_sample_points=12,
+            t_stop=0.085, march_chunk=12, use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    rl = Relighter(cfg, variables, mesh=make_mesh(), parallel="samples")
+    assert rl.parallel == "samples"
