@@ -66,7 +66,9 @@ def evaluate_output_dir(
             f"{len(masks)} masks"
         )
 
-    mses, dssims, psnrs, lpipss = [], [], [], []
+    # Validate EVERY pairing (filename-only) before reading any pixels, so a
+    # directory-level mispairing is reported even when an earlier triple
+    # would fail a per-image content check (e.g. an empty mask) first.
     for pred_name, gt_name, mask_name in zip(rendered, gts, masks):
         ids = {
             n: _stem_id(n) for n in (pred_name, gt_name, mask_name)
@@ -74,6 +76,9 @@ def evaluate_output_dir(
         known = {v for v in ids.values() if v is not None}
         if len(known) > 1:
             raise ValueError(f"mispaired eval triple (image ids differ): {ids}")
+
+    mses, dssims, psnrs, lpipss = [], [], [], []
+    for pred_name, gt_name, mask_name in zip(rendered, gts, masks):
         pred = np.asarray(
             imageio.imread(os.path.join(output_dir, pred_name)), np.float64
         ) / 255.0
