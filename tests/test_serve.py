@@ -758,3 +758,110 @@ def test_tier_pool_mesh_path():
         target_ambient=np.full((1,), 0.5, np.float32),
     )
     assert np.isfinite(np.asarray(out.rendered)).all()
+
+
+def test_serving_soak_counters_and_rss():
+    """Soak: 1,000 requests through the real threaded server + micro-batcher.
+
+    Asserts the three properties the on-chip load benchmark
+    (tools/bench_serve.py, docs/BENCH_serve.json) relies on, at unit scale:
+    every request succeeds, the /statz counters stay mutually consistent
+    (requests == batched rows, padding only ever rounds UP to a bucket,
+    zero errors), and the process RSS is stable after warmup (no per-request
+    leak in the batcher/handler/encode path).
+    """
+    from http.server import ThreadingHTTPServer
+
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.serve import MicroBatcher, make_handler
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=64, img_width=64,
+            num_sample_points=16, t_stop=0.105, march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    relighter = Relighter(cfg, variables)
+    batcher = MicroBatcher(relighter, max_batch=4, window_ms=2.0)
+
+    import geomconsistentfr_tpu.serve as serve_mod
+
+    def rss_mb():
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+        raise RuntimeError("VmRSS not found")
+
+    orig = serve_mod._decode_image
+    serve_mod._decode_image = lambda b64, size=64: orig(b64, size=64)
+    try:
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(relighter, batcher)
+        )
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+
+        rng = np.random.default_rng(3)
+        img = _png_b64(rng.uniform(size=(64, 64, 3)))
+        mask = _png_b64(np.ones((64, 64, 3)))
+        body = json.dumps(
+            {"image": img, "mask": mask, "light_preset": "multipie_14"}
+        )
+
+        import http.client
+
+        n_threads, per_thread = 8, 125
+        statuses = []
+        lock = threading.Lock()
+
+        def client():
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+            mine = []
+            for _ in range(per_thread):
+                conn.request("POST", "/relight", body)
+                resp = conn.getresponse()
+                resp.read()
+                mine.append(resp.status)
+            with lock:
+                statuses.extend(mine)
+
+        # Warmup burst (compile + allocator high-water): one full round.
+        warm = threading.Thread(target=client)
+        warm.start()
+        warm.join(timeout=600)
+        assert statuses == [200] * per_thread
+        rss_after_warm = rss_mb()
+
+        threads = [threading.Thread(target=client) for _ in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+
+        total = per_thread * (n_threads + 1)
+        assert statuses == [200] * total
+        st = batcher.stats
+        assert st["errors"] == 0
+        assert st["relight_requests"] == total
+        assert st["batched_rows"] == total
+        # Padding only rounds up to the {min_batch, max_batch} buckets.
+        assert st["padded_rows"] >= st["batched_rows"]
+        assert st["padded_rows"] <= st["batches"] * batcher.max_batch
+        assert st["per_tier"] == {"": total}
+        assert st["device_seconds"] > 0
+        # No per-request leak: 1,000 post-warmup requests move RSS by less
+        # than a loose 150 MB bound (observed growth is a few MB; the bound
+        # only catches O(request) leaks of image-sized buffers, ~50 KB each).
+        growth = rss_mb() - rss_after_warm
+        assert growth < 150, f"RSS grew {growth:.0f} MB during soak"
+        server.shutdown()
+    finally:
+        serve_mod._decode_image = orig

@@ -37,6 +37,13 @@ def main() -> None:
                 cfg.render, shadow_matmul_precision="default"
             ),
         )
+    if os.environ.get("GCFR_TIER"):
+        # Full serving-tier config (what `cli train --precision` applies):
+        # strict / high / fast. Includes shadow_mask_cull, which is exact
+        # for training (off-face loss cotangents are zero).
+        from geomconsistentfr_tpu.config import apply_precision_tier
+
+        cfg = apply_precision_tier(cfg, os.environ["GCFR_TIER"])
     if os.environ.get("GCFR_PRECISION"):
         # 'highest' | 'high' | 'default' shadow matmul precision A/B knob.
         cfg = dataclasses.replace(
@@ -61,9 +68,24 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     s = cfg.render.img_height
+    if os.environ.get("GCFR_MASK") == "face":
+        # Real FFHQ skin mask (what CelebA-HQ training batches look like);
+        # whole off-face 8-row bands let the march cull fire.
+        face_mask = np.broadcast_to(
+            np.load(
+                os.path.join(
+                    os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))),
+                    "tests/golden/ref_transfer_00104.npz",
+                )
+            )["mask"],
+            (batch, s, s),
+        ).astype(np.float32)
+    else:
+        face_mask = (rng.uniform(size=(batch, s, s)) > 0.1).astype(np.float32)
     batch_np = {
         "image": rng.uniform(0, 1, (batch, s, s, 3)).astype(np.float32),
-        "face_mask": (rng.uniform(size=(batch, s, s)) > 0.1).astype(np.float32),
+        "face_mask": face_mask,
         "depth_gt": rng.normal(size=(batch, s, s)).astype(np.float32),
         "depth_mask": np.ones((batch, s, s), np.float32),
         "albedo_gt": rng.uniform(0, 1, (batch, s, s)).astype(np.float32),
