@@ -274,28 +274,66 @@ class Relighter:
                 else rcfg
             )
 
-            def _march_sp(depth, mask, light_point, ts_local):
+            def _march_sp(depth, mask, light_point, ts_local,
+                          return_argmin_t=False):
                 if mcfg.use_pallas_shadows and on_tpu:
                     from geomconsistentfr_tpu.ops.shadows_pallas import (
                         ray_march_min_distance_pallas,
                     )
 
                     local = ray_march_min_distance_pallas(
-                        depth, mask, light_point, mcfg, ts=ts_local
+                        depth, mask, light_point, mcfg, ts=ts_local,
+                        return_argmin_t=return_argmin_t,
                     )
                 else:
                     local = shadows_ops.ray_march_min_distance_batch(
-                        depth, mask, light_point, mcfg, ts=ts_local
+                        depth, mask, light_point, mcfg, ts=ts_local,
+                        return_argmin_t=return_argmin_t,
                     )
-                return jax.lax.pmin(local, axis)
+                if not return_argmin_t:
+                    return jax.lax.pmin(local, axis)
+                # First-global-winner t* combine (same construction as
+                # shadows_pallas._vjp_fwd_sp): devices not achieving the
+                # global min are strictly greater, and contiguous increasing
+                # ts slices make the smallest winning t the first winner.
+                local_min, t_local = local
+                global_min = jax.lax.pmin(local_min, axis)
+                t_star = jax.lax.pmin(
+                    jnp.where(local_min == global_min, t_local, jnp.inf), axis
+                )
+                return global_min, t_star
+
+            want_refine = (
+                rcfg.shadow_resolution_scale > 1
+                and rcfg.shadow_refine_halfwidth > 0
+            )
+
+            def _refine_replicated(d, m, lp, t_map):
+                # Draft boundary refine under sample/grid parallelism: every
+                # device evaluates the full window, replicated. Offset-
+                # sharding would buy nothing — the Pallas step grid pads to
+                # a multiple of 8, so 8/ndev offsets still run 8 kernel
+                # steps — and replicated outputs are identical on every
+                # device (deterministic ops), so no combine is needed.
+                if rcfg.use_pallas_shadows and on_tpu:
+                    from geomconsistentfr_tpu.ops.shadows_pallas import (
+                        refine_min_distance_pallas,
+                    )
+
+                    return refine_min_distance_pallas(d, m, lp, t_map, rcfg)
+                return shadows_ops.refine_min_distance_batch(
+                    d, m, lp, t_map, rcfg
+                )
 
             def _sp_core(core):
                 def wrapped(variables, *args):
                     *rest, ts_local = args
 
-                    def march(d, m, lp):
-                        return _march_sp(d, m, lp, ts_local)
+                    def march(d, m, lp, return_argmin_t=False):
+                        return _march_sp(d, m, lp, ts_local, return_argmin_t)
 
+                    if want_refine:
+                        march.refine_fn = _refine_replicated
                     return core(variables, *rest, march_fn=march)
 
                 return wrapped

@@ -54,9 +54,11 @@ _OFF_FACE_N2 = 1.0e30
 
 
 def _march_kernel(
-    ts_ref,           # (S, 1) f32 SMEM: sample offsets
+    ts_ref,           # (S, 1) f32 SMEM: sample offsets — ABSOLUTE t values
+                      # for the march, RELATIVE window offsets in refine mode
     light_ref,        # (B, 3) f32 SMEM: light points (indexed by program_id 0)
     *rest_refs,       # [rowany_ref (cull)], operand_t, depth_tile,
+                      # [tmap_tile (refine)],
                       # [indicator_t_ref (onehot mode)], out_ref,
                       # [tstar_ref (training)]
     cfg: RenderConfig,
@@ -66,7 +68,13 @@ def _march_kernel(
     mask_mode: str,
     want_tstar: bool,
     cull: bool,
+    refine_t_range: tuple[float, float] | None = None,
 ):
+    # Refine mode (refine_t_range set): each step evaluates the PER-PIXEL
+    # offset clip(tmap + ts[s], t_range) instead of the shared scalar ts[s].
+    # Structurally free: every coordinate downstream (sx/sy, the hat builds,
+    # the veto) is already per-pixel; only the t broadcast changes shape.
+    refine = refine_t_range is not None
     mask_hat = mask_mode == "hat"
     rest = list(rest_refs)
     # (B, H8) i32 SMEM: per-row any-face flags (8-padded), cull mode only.
@@ -74,9 +82,11 @@ def _march_kernel(
     operand_t_ref = rest.pop(0)   # (1, W, H) depth^T — or (1, W, 2H)
                                   # [depth^T|indicator^T] in hat mode
     depth_tile_ref = rest.pop(0)  # (1, TILE, W) f32 VMEM: this tile's rows
+    tmap_tile_ref = rest.pop(0) if refine else None  # (1, TILE, W) f32 VMEM
     indicator_t_ref = None if mask_hat else rest.pop(0)
     out_ref = rest.pop(0)
     tstar_ref = rest.pop(0) if want_tstar else None
+    assert not (refine and want_tstar), "refine emits no argmin"
     h, w = cfg.img_height, cfg.img_width
     tr = tile_rows
     img = pl.program_id(0)
@@ -263,7 +273,7 @@ def _march_kernel(
         ey = jnp.clip(ey, bottom, top)
 
         bc_z = lz - depth_px
-        return {
+        consts = {
             "xx": xx,
             "yy": yy,
             "depth_px": depth_px,
@@ -276,6 +286,16 @@ def _march_kernel(
                 (lx - xx) ** 2 + (ly - yy) ** 2 + bc_z * bc_z + _EPS
             ),
         }
+        if refine:
+            consts["tmap"] = tmap_tile_ref[0, k * sub : (k + 1) * sub, :]
+        return consts
+
+    def step_t(c, s):
+        """Step s's parametric offset: scalar (march) or per-pixel (refine)."""
+        t = ts_ref[s, 0]
+        if refine:
+            t = jnp.clip(c["tmap"] + t, refine_t_range[0], refine_t_range[1])
+        return t
 
     def sample_n2(c, t):
         """Cross-product norm^2 of one march sample for one slab."""
@@ -448,10 +468,9 @@ def _march_kernel(
         consts = [slab_consts(k) for k in range(n_sub)]
 
         def step_all(s, carry):
-            t = ts_ref[s, 0]
             out = []
             for k in range(n_sub):
-                n2 = sample_n2(consts[k], t)
+                n2 = sample_n2(consts[k], step_t(consts[k], s))
                 if tstar_ref is None:
                     out.append(jnp.minimum(carry[k], n2))
                 else:
@@ -483,8 +502,7 @@ def _march_kernel(
             c = slab_consts(k)
 
             def step(s, carry, c=c):
-                t = ts_ref[s, 0]
-                n2 = sample_n2(c, t)
+                n2 = sample_n2(c, step_t(c, s))
                 if tstar_ref is None:
                     return jnp.minimum(carry, n2)
                 min_acc, sbest = carry
@@ -665,6 +683,52 @@ def ray_march_min_distance_pallas(
     device a slice of sample_ts(cfg) and pmin-combines the partial min
     distances — exact, since f32 min is associative. With return_argmin_t
     the returned index addresses the GIVEN ts array, not sample_ts(cfg)."""
+    return _march_pallas_call(
+        depth, mask, light_point, cfg, tile_rows, interpret,
+        return_argmin_t, ts, tmap=None,
+    )
+
+
+def refine_min_distance_pallas(
+    depth: Array,
+    mask: Array,
+    light_point: Array,
+    t_map: Array,
+    cfg: RenderConfig,
+    offsets=None,
+    tile_rows: int | None = None,
+    interpret: bool = False,
+) -> Array:
+    """Fused draft-tier boundary refine: per-pixel windowed re-march.
+
+    Same kernel machinery as the march, but each step evaluates the
+    PER-PIXEL offset clip(t_map + offsets[s], t range) instead of a shared
+    scalar — the hat builds and veto are per-pixel already, so only the t
+    broadcast changes. t_map is the NN-upsampled low-res argmin t*
+    (ops/shadows.upsample_tstar_nn); semantics match
+    ops/shadows.refine_min_distance_batch. `offsets` (1-D f32, may be
+    traced) overrides the [-k, k]*t_step window for the sample-parallel
+    pmin combine.
+    """
+    if offsets is None:
+        offsets = shadows_ref.refine_offsets(cfg)
+    return _march_pallas_call(
+        depth, mask, light_point, cfg, tile_rows, interpret,
+        False, offsets, tmap=t_map,
+    )
+
+
+def _march_pallas_call(
+    depth: Array,
+    mask: Array,
+    light_point: Array,
+    cfg: RenderConfig,
+    tile_rows: int | None,
+    interpret: bool,
+    return_argmin_t: bool,
+    ts,
+    tmap: Array | None,
+):
     b, h, w = depth.shape
     assert (h, w) == (cfg.img_height, cfg.img_width), (depth.shape, cfg)
     if tile_rows is None:
@@ -740,6 +804,12 @@ def ray_march_min_distance_pallas(
     if mask_mode not in ("onehot", "hat", "hat_y", "bilinear"):
         raise ValueError(f"unknown shadow_mask_gather: {mask_mode}")
     mask_hat = mask_mode == "hat"
+    if tmap is not None:
+        assert not return_argmin_t, "refine emits no argmin"
+        full_ts = shadows_ref.sample_ts(cfg)
+        refine_t_range = (float(full_ts[0]), float(full_ts[-1]))
+    else:
+        refine_t_range = None
     kernel = functools.partial(
         _march_kernel,
         cfg=cfg,
@@ -749,6 +819,7 @@ def ray_march_min_distance_pallas(
         mask_mode=mask_mode,
         want_tstar=return_argmin_t,
         cull=cull,
+        refine_t_range=refine_t_range,
     )
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -774,6 +845,11 @@ def ray_march_min_distance_pallas(
             tile_block,
             pl.BlockSpec((1, w, h), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
+    if tmap is not None:
+        # Per-pixel t centres ride the same tile pipeline as the depth rows
+        # (slot right after depth_in — the kernel pops refs in this order).
+        inputs.insert(4, pad_batch(tmap.astype(jnp.float32)))
+        in_specs.insert(4, tile_block)
     if cull:
         inputs.insert(2, rowany_in)
         in_specs.insert(2, smem)

@@ -102,7 +102,15 @@ def render(
         tier) these are the pooled/scaled tensors, and the march_fn must
         close over the correspondingly scaled RenderConfig
         (ops/shadows.scaled_render_cfg); the t grid itself is
-        scale-invariant, so sharded sample slices work unchanged.
+        scale-invariant, so sharded sample slices work unchanged. When the
+        draft boundary refine is on (shadow_refine_halfwidth > 0 at
+        scale > 1), render() instead calls
+        march_fn(depth, mask, light_point, return_argmin_t=True) and
+        expects (min_distance, t_star) with a first-global-winner t*
+        combine, plus a `refine_fn` attribute on the march_fn —
+        (full-res depth, mask, light_point, t_map) -> refined min — so
+        the sharded path can also shard the refine window (infer.py
+        builds both).
     """
     b, h, w = depth.shape
     f = cfg.focal_length
@@ -155,6 +163,7 @@ def render(
     # scaled config; its pmin combine stays exact because the t grid is
     # scale-invariant.
     scale = cfg.shadow_resolution_scale
+    refine = scale > 1 and cfg.shadow_refine_halfwidth > 0
     if scale > 1:
         m_depth, m_mask, m_light, m_cfg = shadows_ops.scale_march_inputs(
             depth, mask, light_point, cfg
@@ -162,22 +171,63 @@ def render(
     else:
         m_depth, m_mask, m_light, m_cfg = depth, mask, light_point, cfg
 
+    t_star = None
+    on_pallas = cfg.use_pallas_shadows and _on_tpu()
     if march_fn is not None:
-        min_distance = march_fn(m_depth, m_mask, m_light)
-    elif cfg.use_pallas_shadows and _on_tpu():
+        if refine:
+            min_distance, t_star = march_fn(
+                m_depth, m_mask, m_light, return_argmin_t=True
+            )
+        else:
+            min_distance = march_fn(m_depth, m_mask, m_light)
+    elif on_pallas:
         from geomconsistentfr_tpu.ops.shadows_pallas import (
+            ray_march_min_distance_pallas,
             ray_march_min_distance_pallas_vjp,
         )
 
-        min_distance = ray_march_min_distance_pallas_vjp(
-            m_depth, m_mask, m_light, m_cfg
-        )
+        if refine:
+            # Serving-only path (draft tier): no custom VJP needed.
+            min_distance, t_star = ray_march_min_distance_pallas(
+                m_depth, m_mask, m_light, m_cfg, return_argmin_t=True
+            )
+        else:
+            min_distance = ray_march_min_distance_pallas_vjp(
+                m_depth, m_mask, m_light, m_cfg
+            )
     else:
-        min_distance = shadows_ops.ray_march_min_distance_batch(
-            m_depth, m_mask, m_light, m_cfg
-        )
+        if refine:
+            min_distance, t_star = shadows_ops.ray_march_min_distance_batch(
+                m_depth, m_mask, m_light, m_cfg, return_argmin_t=True
+            )
+        else:
+            min_distance = shadows_ops.ray_march_min_distance_batch(
+                m_depth, m_mask, m_light, m_cfg
+            )
     if scale > 1:
-        min_distance = shadows_ops.upscale_min_distance(min_distance, cfg)
+        if refine:
+            # Boundary refine: re-march the 2k-offset window around the
+            # NN-upsampled low-res argmin t* at FULL resolution — see
+            # ops/shadows.refine_min_distance. Recovers the half-res
+            # shadow-boundary placement (~90% of draft's visible error).
+            t_map = shadows_ops.upsample_tstar_nn(t_star, cfg)
+            refine_fn = getattr(march_fn, "refine_fn", None)
+            if refine_fn is not None:
+                min_distance = refine_fn(depth, mask, light_point, t_map)
+            elif on_pallas:
+                from geomconsistentfr_tpu.ops.shadows_pallas import (
+                    refine_min_distance_pallas,
+                )
+
+                min_distance = refine_min_distance_pallas(
+                    depth, mask, light_point, t_map, cfg
+                )
+            else:
+                min_distance = shadows_ops.refine_min_distance_batch(
+                    depth, mask, light_point, t_map, cfg
+                )
+        else:
+            min_distance = shadows_ops.upscale_min_distance(min_distance, cfg)
     weights = shadow_weights(min_distance)
     final_shading, rendered = composite(albedo, full_shading, ambient_map, weights)
 
