@@ -455,8 +455,8 @@ PRESETS = {
 #             resolution boundary refine (shadow_refine_halfwidth=4: the
 #             low-res argmin t* is NN-upsampled and re-marched over 8
 #             fine offsets, ~8/160 of a full march — recovers the shadow-
-#             boundary placement that pure upsampling loses; >= 47 dB
-#             visible on every bundled fixture vs 38.8 dB without it).
+#             boundary placement that pure upsampling loses; worst bundled
+#             fixture 46.6 dB visible on chip vs 38.8 dB without it).
 #             Preview/thumbnail serving; the only tier that changes WHICH
 #             computation runs rather than just its arithmetic precision.
 PRECISION_TIERS = ("strict", "high", "fast", "draft")
