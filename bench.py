@@ -33,8 +33,9 @@ def main() -> None:
     # production default benchmarked here (bf16 CNN + bf16 shadow matmuls +
     # bilinear veto; golden parity >= 50 dB). BENCH_PRECISION selects
     # 'strict' (true f32, the parity-suite mode), 'high' (bf16x3-split
-    # matmuls, parity-grade) or 'draft' (fast + half-resolution march,
-    # preview grade). BENCH_STRICT=1 is the legacy strict alias.
+    # matmuls, parity-grade) or 'draft' (fast + quarter-resolution march
+    # with full-res boundary refine, preview grade). BENCH_STRICT=1 is the
+    # legacy strict alias.
     tier = os.environ.get("BENCH_PRECISION", "fast")
     if os.environ.get("BENCH_STRICT") == "1":
         tier = "strict"

@@ -46,7 +46,8 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
         "golden fixture at +12%% throughput, docs/PARITY_matrix.json); "
         "'fast' = bf16 CNN + single-pass bf16 matmuls + bilinear veto (max "
         "throughput, golden parity >=46 dB); 'draft' = fast plus a "
-        "half-resolution shadow march (preview-grade shadow edges). "
+        "quarter-resolution shadow march with a full-resolution boundary "
+        "refine (preview grade, worst golden fixture >=45 dB visible). "
         "Default: high (strict when --config is given, so explicit "
         "precision overrides are honoured).",
     )

@@ -449,14 +449,17 @@ PRESETS = {
 #             and the bilinear mask veto (max throughput; golden parity
 #             >= 46 dB on every bundled fixture, >= 50 dB on the
 #             transfer-path ones — docs/PARITY_matrix.json).
-#   'draft'   'fast' plus the shadow march at HALF resolution
-#             (RenderConfig.shadow_resolution_scale=2: ~8x fewer march
+#   'draft'   'fast' plus the shadow march at QUARTER resolution
+#             (RenderConfig.shadow_resolution_scale=4: ~64x fewer march
 #             FLOPs via the exact scene-scaling identity) with a full-
 #             resolution boundary refine (shadow_refine_halfwidth=4: the
 #             low-res argmin t* is NN-upsampled and re-marched over 8
 #             fine offsets, ~8/160 of a full march — recovers the shadow-
-#             boundary placement that pure upsampling loses; worst bundled
-#             fixture 46.6 dB visible on chip vs 38.8 dB without it).
+#             boundary placement that pure upsampling loses). On chip:
+#             231.5 img/s at batch 64, worst bundled fixture 45.8 dB
+#             face-visible (docs/BENCH_draft4.json) — the same parity
+#             class as the former scale-2 default (46.6 dB) at 2.3x its
+#             throughput; scale 2 stays reachable via a config override.
 #             Preview/thumbnail serving; the only tier that changes WHICH
 #             computation runs rather than just its arithmetic precision.
 PRECISION_TIERS = ("strict", "high", "fast", "draft")
@@ -471,7 +474,7 @@ def apply_precision_tier(cfg: "PipelineConfig", tier: str) -> "PipelineConfig":
         "draft": "default",
     }[tier]
     compute = "float32" if tier in ("strict", "high") else "bfloat16"
-    scale = 2 if tier == "draft" else 1
+    scale = 4 if tier == "draft" else 1
     return dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, compute_dtype=compute),

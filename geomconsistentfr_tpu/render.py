@@ -208,7 +208,7 @@ def render(
         if refine:
             # Boundary refine: re-march the 2k-offset window around the
             # NN-upsampled low-res argmin t* at FULL resolution — see
-            # ops/shadows.refine_min_distance. Recovers the half-res
+            # ops/shadows.refine_min_distance. Recovers the low-res
             # shadow-boundary placement (~90% of draft's visible error).
             t_map = shadows_ops.upsample_tstar_nn(t_star, cfg)
             refine_fn = getattr(march_fn, "refine_fn", None)

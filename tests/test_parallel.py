@@ -289,7 +289,7 @@ def test_relighter_draft_sample_parallel_matches_single_device():
         ),
     )
     cfg = apply_precision_tier(cfg, "draft")
-    assert cfg.render.shadow_resolution_scale == 2
+    assert cfg.render.shadow_resolution_scale == 4
 
     model = RelightNet(cfg=cfg.model)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))

@@ -732,7 +732,7 @@ def test_tier_pool_mesh_path():
     assert pool("high") is relighter          # default tier: no rebuild
     draft = pool("draft")
     assert draft.mesh is mesh
-    assert draft.cfg.render.shadow_resolution_scale == 2
+    assert draft.cfg.render.shadow_resolution_scale == 4
     assert draft.cfg.render.img_height == 64  # tiny cfg preserved
     assert pool("draft") is draft             # cached
 

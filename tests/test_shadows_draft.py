@@ -201,7 +201,7 @@ def test_render_draft_march_fn_gets_scaled_inputs():
 def test_precision_tier_draft_plumbing():
     cfg = PipelineConfig()
     draft = apply_precision_tier(cfg, "draft")
-    assert draft.render.shadow_resolution_scale == 2
+    assert draft.render.shadow_resolution_scale == 4
     assert draft.render.shadow_matmul_precision == "default"
     assert draft.render.shadow_refine_halfwidth == 4
     assert draft.model.compute_dtype == "bfloat16"
@@ -419,12 +419,12 @@ def test_pallas_kernel_runs_scaled_inputs():
 
 
 def test_golden_draft_psnr():
-    """End-to-end draft-tier parity on the primary golden fixture. With the
-    boundary refine (round 4) the tier measures 46.9 dB raw / 54.1 dB
-    visible here on CPU and >= 47.7 dB visible on ALL four fixtures
-    (worst: target-path 00295 — up from 38.8 dB visible without the
-    refine; the per-fixture matrix is recorded on-chip in
-    docs/PARITY_matrix.json)."""
+    """End-to-end draft-tier parity on the primary golden fixture. The
+    shipping tier is scale 4 + halfwidth-4 boundary refine (promoted
+    2026-08-19): 47.6 dB raw / 53.7 dB visible here, >= 45.8 dB visible
+    on ALL four fixtures on chip at 231.5 img/s (docs/BENCH_draft4.json;
+    worst: target-path 00295 — up from 38.8 dB visible before the
+    refine existed)."""
     import os
 
     ckpt = "/root/reference/model_lighting_transfer/model_epoch106.pth"
