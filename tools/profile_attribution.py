@@ -53,7 +53,7 @@ def _flops(fn, *args):
         return float("nan")
 
 
-def profile_relight(tier: str, batch: int, trace_dir: str | None):
+def profile_relight(tier: str, batch: int, trace_dir: str | None, mask_kind: str):
     import jax
     import jax.numpy as jnp
 
@@ -67,7 +67,20 @@ def profile_relight(tier: str, batch: int, trace_dir: str | None):
     model = RelightNet(cfg=cfg.model)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(0, 1, (batch, 256, 256, 3)), jnp.float32)
-    masks = jnp.asarray((rng.uniform(0, 1, (batch, 256, 256)) > 0.2).astype(np.float32))
+    # Default mask is the REAL FFHQ skin mask bench.py uses: whole off-face
+    # 8-row bands let the march cull fire, matching the shipping workload.
+    # --mask random restores the scattered 80%-coverage mask (cull never
+    # fires; the round-3 profile basis).
+    if mask_kind == "random":
+        mask_np = (rng.uniform(0, 1, (256, 256)) > 0.2).astype(np.float32)
+    else:
+        mask_np = np.load(
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tests/golden/ref_transfer_00104.npz",
+            )
+        )["mask"]
+    masks = jnp.asarray(np.broadcast_to(mask_np, (batch, 256, 256)))
     lights = jnp.tile(jnp.asarray([[0.3, 0.4, 0.8660254]], jnp.float32), (batch, 1))
     variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
 
@@ -86,22 +99,51 @@ def profile_relight(tier: str, batch: int, trace_dir: str | None):
     depth = jnp.asarray(rng.uniform(-54, 70, (batch, 256, 256)), jnp.float32)
     light_point = lights * cfg.render.light_distance
 
+    scale = cfg.render.shadow_resolution_scale
+    refine = scale > 1 and cfg.render.shadow_refine_halfwidth > 0
+
     def march_only(depth, masks, light_point, salt):
         # Route through the same reduced-resolution path render() uses for
         # the draft tier (shadow_resolution_scale > 1) so the stage measures
-        # the march that actually executes, not a full-res stand-in.
+        # the march that actually executes, not a full-res stand-in. With
+        # the boundary refine on, the low-res march also carries the argmin
+        # t*, exactly as in render().
         from geomconsistentfr_tpu.ops import shadows as shadows_ops
 
         d = depth + salt * 1e-7
-        if cfg.render.shadow_resolution_scale > 1:
+        if scale > 1:
             m_depth, m_mask, m_light, m_cfg = shadows_ops.scale_march_inputs(
                 d, masks, light_point, cfg.render
             )
         else:
             m_depth, m_mask, m_light, m_cfg = d, masks, light_point, cfg.render
+        if refine:
+            md, t_star = ray_march_min_distance_pallas(
+                m_depth, m_mask, m_light, m_cfg, return_argmin_t=True
+            )
+            return md.sum() + t_star.sum()
         md = ray_march_min_distance_pallas(m_depth, m_mask, m_light, m_cfg)
-        if cfg.render.shadow_resolution_scale > 1:
+        if scale > 1:
             md = shadows_ops.upscale_min_distance(md, cfg.render)
+        return md.sum()
+
+    def march_and_refine(depth, masks, light_point, salt):
+        # The draft tier's complete min-distance pipeline: low-res march
+        # (with argmin t*) -> NN t* upsample -> full-res windowed re-march.
+        from geomconsistentfr_tpu.ops import shadows as shadows_ops
+        from geomconsistentfr_tpu.ops.shadows_pallas import (
+            refine_min_distance_pallas,
+        )
+
+        d = depth + salt * 1e-7
+        m_depth, m_mask, m_light, m_cfg = shadows_ops.scale_march_inputs(
+            d, masks, light_point, cfg.render
+        )
+        _, t_star = ray_march_min_distance_pallas(
+            m_depth, m_mask, m_light, m_cfg, return_argmin_t=True
+        )
+        t_map = shadows_ops.upsample_tstar_nn(t_star, cfg.render)
+        md = refine_min_distance_pallas(d, masks, light_point, t_map, cfg.render)
         return md.sum()
 
     jit_cnn = jax.jit(cnn_only)
@@ -111,6 +153,7 @@ def profile_relight(tier: str, batch: int, trace_dir: str | None):
     res = {
         "tier": tier,
         "batch": batch,
+        "mask": mask_kind,
         "cnn_s": _time(jit_cnn, variables, images),
         "full_s": _time(jit_full, variables, images, masks, lights),
         "march_s": _time(jit_march, depth, masks, light_point),
@@ -122,7 +165,13 @@ def profile_relight(tier: str, batch: int, trace_dir: str | None):
         "full_flops_xla_visible": _flops(full, variables, images, masks, lights),
         "march_flops_xla_visible": _flops(march_only, depth, masks, light_point),
     }
-    res["rest_s"] = res["full_s"] - res["cnn_s"] - res["march_s"]
+    if refine:
+        jit_mr = jax.jit(march_and_refine)
+        res["march_refine_s"] = _time(jit_mr, depth, masks, light_point)
+        res["refine_s"] = res["march_refine_s"] - res["march_s"]
+        res["rest_s"] = res["full_s"] - res["cnn_s"] - res["march_refine_s"]
+    else:
+        res["rest_s"] = res["full_s"] - res["cnn_s"] - res["march_s"]
     # Analytic march matmul FLOPs (single-pass accounting): per sample step
     # and 8-row slab the kernel issues 2 gather matmuls of
     # (8*W, W) @ (W, H) — the hat-weighted depth gather and the indicator
@@ -143,6 +192,21 @@ def profile_relight(tier: str, batch: int, trace_dir: str | None):
     res["march_sustained_tflops_single_pass"] = (
         res["march_flops_algorithmic"] / res["march_s"] / 1e12
     )
+    if refine:
+        # The boundary refine re-marches 2k offsets at FULL resolution
+        # (ops/shadows.refine_offsets): same per-step slab cost as the
+        # full-res march, 2k steps.
+        fr = cfg.render
+        per_step_full = 2 * 2 * 8 * fr.img_width**2 * fr.img_height
+        res["refine_flops_algorithmic"] = float(
+            batch
+            * 2 * fr.shadow_refine_halfwidth
+            * (fr.img_height // 8)
+            * per_step_full
+        )
+        res["refine_sustained_tflops_single_pass"] = (
+            res["refine_flops_algorithmic"] / res["refine_s"] / 1e12
+        )
 
     # device->host fetch of the uint8 visual pack (the dump-pipeline payload).
     out = jax.jit(lambda v, i, m, l: render(
@@ -227,6 +291,7 @@ def main() -> None:
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--train-batch", type=int, default=3)
     ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--mask", choices=("face", "random"), default="face")
     ap.add_argument("--out", default=os.path.join("docs", "PROFILE_raw.json"))
     args = ap.parse_args()
 
@@ -242,7 +307,7 @@ def main() -> None:
         "relight": [],
     }
     for tier in args.tiers.split(","):
-        r = profile_relight(tier, args.batch, args.trace_dir)
+        r = profile_relight(tier, args.batch, args.trace_dir, args.mask)
         print(json.dumps(r), flush=True)
         out["relight"].append(r)
     if args.train:
