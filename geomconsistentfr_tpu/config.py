@@ -199,6 +199,16 @@ class RenderConfig:
     # the min-distance field (no refine).
     shadow_refine_halfwidth: int = 0
 
+    # Low-resolution march t-grid stride (draft mode only, needs the
+    # boundary refine): with stride r > 1 the LOW-RES march samples every
+    # r-th offset of the reference t grid (t_step * r, ~num_sample_points/r
+    # steps) while the full-resolution refine window keeps the exact t_step
+    # — the strided argmin t* errs by at most t_step*r/2, which the
+    # halfwidth-k window re-searches as long as k >= r (the shipping k=4
+    # covers r<=4 with margin). Cuts the low-res march cost ~r-fold; the
+    # refine and everything downstream are unchanged. 1 = the full grid.
+    shadow_lowres_t_stride: int = 1
+
     def __post_init__(self):
         # The shadow kernels' one-hot mask veto matches round(s) + half_w
         # against integer column indices, which is only exact when half_w /
@@ -225,6 +235,18 @@ class RenderConfig:
                 "img dims must stay even after the draft-march downscale; "
                 f"got {self.img_height}x{self.img_width} at scale "
                 f"{self.shadow_resolution_scale}"
+            )
+        if self.shadow_lowres_t_stride > 1 and (
+            self.shadow_resolution_scale == 1
+            or self.shadow_refine_halfwidth < self.shadow_lowres_t_stride
+        ):
+            raise ValueError(
+                "shadow_lowres_t_stride > 1 needs the draft-mode march "
+                "(shadow_resolution_scale > 1) AND a refine window that "
+                "covers the strided argmin error (shadow_refine_halfwidth "
+                f">= stride); got stride {self.shadow_lowres_t_stride}, "
+                f"scale {self.shadow_resolution_scale}, halfwidth "
+                f"{self.shadow_refine_halfwidth}"
             )
 
     @property

@@ -528,6 +528,12 @@ def scaled_render_cfg(cfg: RenderConfig) -> RenderConfig:
     import dataclasses
 
     s = cfg.shadow_resolution_scale
+    r = cfg.shadow_lowres_t_stride
+    t_step = cfg.t_step * r
+    # arange-length, not a division: the reference grid itself is an
+    # arange(t_start, t_stop, t_step) (sample_ts) and the strided grid is
+    # exactly its every-r-th element.
+    n = int(np.arange(cfg.t_start, cfg.t_stop, t_step).shape[0])
     return dataclasses.replace(
         cfg,
         img_height=cfg.img_height // s,
@@ -537,6 +543,9 @@ def scaled_render_cfg(cfg: RenderConfig) -> RenderConfig:
         # which tracks the full-resolution region to within one pixel.)
         shadow_bias=cfg.shadow_bias / s,
         shadow_resolution_scale=1,
+        t_step=t_step,
+        num_sample_points=n,
+        shadow_lowres_t_stride=1,
     )
 
 

@@ -471,3 +471,64 @@ def test_relighter_accepts_sample_parallel_draft():
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     rl = Relighter(cfg, variables, mesh=make_mesh(), parallel="samples")
     assert rl.parallel == "samples"
+
+
+# ---------------------------------------------------------------------------
+# Low-res march t-grid stride (shadow_lowres_t_stride)
+# ---------------------------------------------------------------------------
+
+
+def test_stride_grid_is_every_rth_sample():
+    """The strided low-res grid is exactly every r-th reference offset, and
+    the stride is consumed by scaled_render_cfg (not reapplied downstream)."""
+    for r in (2, 4):
+        cfg = _draft_cfg(shadow_lowres_t_stride=r)
+        scaled = S.scaled_render_cfg(cfg)
+        np.testing.assert_allclose(
+            S.sample_ts(scaled), S.sample_ts(BASE)[::r], rtol=1e-12
+        )
+        assert scaled.shadow_lowres_t_stride == 1
+        assert scaled.num_sample_points == S.sample_ts(BASE)[::r].shape[0]
+
+
+def test_stride_keeps_full_res_refine_window():
+    """The refine window spacing stays at the reference t_step regardless of
+    the low-res stride — the whole point of the knob."""
+    cfg = _draft_cfg(shadow_lowres_t_stride=4)
+    np.testing.assert_allclose(
+        S.refine_offsets(cfg), np.arange(-4, 4) * BASE.t_step, rtol=1e-6
+    )
+
+
+def test_config_validates_stride():
+    with pytest.raises(ValueError, match="stride"):
+        RenderConfig(shadow_lowres_t_stride=2)  # needs the draft march
+    with pytest.raises(ValueError, match="stride"):
+        # refine window too narrow to cover the strided argmin error
+        RenderConfig(
+            shadow_resolution_scale=2,
+            shadow_refine_halfwidth=1,
+            shadow_lowres_t_stride=2,
+        )
+
+
+def test_stride_tracks_unstrided_draft():
+    """Strided draft+refine tracks the unstrided draft+refine closely: the
+    refine window re-searches the full-rate neighbourhood of the strided
+    argmin, so only pixels whose true winner lies outside the window (a
+    different occluder lobe) can deviate."""
+    depth, mask, lights = _smooth_scene()
+    weights = {}
+    for r in (1, 2):
+        cfg = _draft_cfg(shadow_lowres_t_stride=r)
+        dh, mh, lh, ch = S.scale_march_inputs(depth, mask, lights, cfg)
+        _, t_star = S.ray_march_min_distance_batch(
+            dh, mh, lh, ch, return_argmin_t=True
+        )
+        t_map = S.upsample_tstar_nn(t_star, cfg)
+        md = S.refine_min_distance_batch(depth, mask, lights, t_map, cfg)
+        weights[r] = np.asarray(shadow_weights(md))
+    m = np.asarray(mask) > 0
+    diff = np.abs(weights[1] - weights[2])[m]
+    assert diff.mean() < 0.01, diff.mean()
+    assert (diff > 0.25).mean() < 0.02, (diff > 0.25).mean()

@@ -41,7 +41,7 @@ FIXTURES = [
 ]
 
 
-def draft4_cfg(base, halfwidth: int):
+def draft4_cfg(base, halfwidth: int, t_stride: int = 1):
     from geomconsistentfr_tpu.config import apply_precision_tier
 
     cfg = apply_precision_tier(base, "draft")
@@ -51,6 +51,7 @@ def draft4_cfg(base, halfwidth: int):
             cfg.render,
             shadow_resolution_scale=4,
             shadow_refine_halfwidth=halfwidth,
+            shadow_lowres_t_stride=t_stride,
         ),
     )
 
@@ -59,8 +60,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join("docs", "BENCH_draft4.json"))
     ap.add_argument("--halfwidth", type=int, default=4)
+    ap.add_argument("--t-stride", type=int, default=1,
+                    help="low-res march t-grid stride "
+                    "(RenderConfig.shadow_lowres_t_stride)")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--skip-bench", action="store_true",
+                    help="parity cells only (e.g. on CPU)")
     args = ap.parse_args()
 
     import jax
@@ -78,6 +84,7 @@ def main() -> None:
     result = {
         "device": f"{device.platform}:{device.device_kind}",
         "halfwidth": args.halfwidth,
+        "t_stride": args.t_stride,
         "metric": "psnr_db = face-mask-weighted rendered PSNR vs the "
         "reference torch forward (the reference-visible surface); "
         "throughput per bench.py methodology (real FFHQ face mask, "
@@ -94,7 +101,7 @@ def main() -> None:
             kwargs = {"target_light": fx["target_light"]}
             if "target_ambient" in fx:
                 kwargs["target_ambient"] = fx["target_ambient"]
-            cfg = draft4_cfg(PRESETS[preset](), args.halfwidth)
+            cfg = draft4_cfg(PRESETS[preset](), args.halfwidth, args.t_stride)
             rl = load_relighter(CKPT, cfg=cfg)
             out = rl.forward(fx["image"][None], fx["mask"][None], **kwargs)
             got = np.asarray(out.rendered, np.float32)
@@ -106,7 +113,7 @@ def main() -> None:
             cell = {
                 "fixture": fname,
                 "class": klass,
-                "tier": f"draft_scale4_hw{args.halfwidth}",
+                "tier": f"draft_scale4_hw{args.halfwidth}_ts{args.t_stride}",
                 "psnr_db": round(10.0 * np.log10(1.0 / max(mse_vis, 1e-12)), 2),
                 "psnr_raw_db": round(
                     10.0 * np.log10(1.0 / max(float(np.mean(sq)), 1e-12)), 2
@@ -119,7 +126,13 @@ def main() -> None:
         result["cells"] = "reference checkpoint unavailable"
 
     # --- Throughput: bench.py methodology at scale 4 ----------------------
-    cfg = draft4_cfg(preset_single_image(), args.halfwidth)
+    if args.skip_bench:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {args.out} (parity only)", flush=True)
+        return
+    cfg = draft4_cfg(preset_single_image(), args.halfwidth, args.t_stride)
     model = RelightNet(cfg=cfg.model)
     rng = np.random.default_rng(0)
     batch = args.batch
