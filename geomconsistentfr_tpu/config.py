@@ -477,13 +477,22 @@ PRESETS = {
 #             resolution boundary refine (shadow_refine_halfwidth=4: the
 #             low-res argmin t* is NN-upsampled and re-marched over 8
 #             fine offsets, ~8/160 of a full march — recovers the shadow-
-#             boundary placement that pure upsampling loses). On chip:
-#             231.5 img/s at batch 64, worst bundled fixture 45.8 dB
-#             face-visible (docs/BENCH_draft4.json) — the same parity
-#             class as the former scale-2 default (46.6 dB) at 2.3x its
-#             throughput; scale 2 stays reachable via a config override.
-#             Preview/thumbnail serving; the only tier that changes WHICH
-#             computation runs rather than just its arithmetic precision.
+#             boundary placement that pure upsampling loses), and the
+#             low-res march striding every 2nd t-grid offset
+#             (shadow_lowres_t_stride=2 — the halfwidth-4 refine window
+#             re-searches the strided argmin's ±t_step error exactly).
+#             On chip: 308.6 img/s at batch 64, worst bundled fixture
+#             45.78 dB face-visible (docs/BENCH_draft4.json) — parity
+#             IDENTICAL to the unstrided scale-4 march (45.75 dB) at
+#             +33% throughput, and the same parity class as the former
+#             scale-2 tier (46.6 dB) at 3.1x its throughput; scale 2 /
+#             stride 1 stay reachable via config overrides. Stride 4
+#             measured 377 img/s but drops the worst fixture 1.1 dB
+#             (44.6 dB, docs/BENCH_draft4_ts4_rejected.json) — rejected
+#             for the default, available via
+#             config. Preview/thumbnail serving; the only tier that
+#             changes WHICH computation runs rather than just its
+#             arithmetic precision.
 PRECISION_TIERS = ("strict", "high", "fast", "draft")
 
 
@@ -505,6 +514,7 @@ def apply_precision_tier(cfg: "PipelineConfig", tier: str) -> "PipelineConfig":
             shadow_matmul_precision=shadow,
             shadow_resolution_scale=scale,
             shadow_refine_halfwidth=4 if tier == "draft" else 0,
+            shadow_lowres_t_stride=2 if tier == "draft" else 1,
             # Exact on every masked surface (see RenderConfig); all tiers
             # skip the march for fully-off-face 8-row groups.
             shadow_mask_cull=True,

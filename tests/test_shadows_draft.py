@@ -204,13 +204,15 @@ def test_precision_tier_draft_plumbing():
     assert draft.render.shadow_resolution_scale == 4
     assert draft.render.shadow_matmul_precision == "default"
     assert draft.render.shadow_refine_halfwidth == 4
+    assert draft.render.shadow_lowres_t_stride == 2
     assert draft.model.compute_dtype == "bfloat16"
     # Tier application is idempotent/resetting: re-applying a full-res tier
-    # clears the draft downscale and the refine window.
+    # clears the draft downscale, the refine window and the t-grid stride.
     back = apply_precision_tier(draft, "high")
     assert back.render.shadow_resolution_scale == 1
     assert back.render.shadow_matmul_precision == "high"
     assert back.render.shadow_refine_halfwidth == 0
+    assert back.render.shadow_lowres_t_stride == 1
 
 
 # ---------------------------------------------------------------------------
