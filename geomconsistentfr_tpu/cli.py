@@ -354,6 +354,7 @@ def cmd_crop(args) -> int:
     from geomconsistentfr_tpu.preprocess import (
         box_from_mask,
         crop_face,
+        detect_faces_s3fd,
         detect_faces_sfd,
     )
 
@@ -364,8 +365,13 @@ def cmd_crop(args) -> int:
     elif args.mask:
         box = box_from_mask(np.asarray(imageio.imread(args.mask)))
     else:
-        detections = detect_faces_sfd(img)
-        if not detections:
+        if args.s3fd_weights:
+            detections = detect_faces_s3fd(
+                img, weights_path=args.s3fd_weights
+            )
+        else:
+            detections = detect_faces_sfd(img)
+        if not len(detections):
             print(json.dumps({"error": "no face detected"}))
             return 1
         box = tuple(detections[0][:4])
@@ -665,6 +671,11 @@ def main(argv=None) -> int:
         "--mask", default=None,
         help="skin/face mask PNG: derive the face box from its bounding box "
         "(detector-free; else the SFD detector is required)",
+    )
+    p.add_argument(
+        "--s3fd-weights", default=None,
+        help="torch s3fd.pth checkpoint: run the NATIVE S3FD detector "
+        "(models/s3fd.py) instead of the optional face_alignment package",
     )
     p.add_argument("--out-image", required=True)
     p.set_defaults(fn=cmd_crop)

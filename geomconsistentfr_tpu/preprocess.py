@@ -49,6 +49,42 @@ def detect_faces_sfd(image: np.ndarray):
     return fa.face_detector.detect_from_image(image)
 
 
+def detect_faces_s3fd(
+    image_rgb: np.ndarray,
+    variables=None,
+    weights_path: str | None = None,
+    _detect_fn=None,
+) -> np.ndarray:
+    """Native S3FD detection in ORIGINAL-image coordinates.
+
+    Runs models/s3fd.py (the same public architecture the reference's
+    face_alignment SFD detector implements) on the 50 px reflect-101-padded
+    BGR frame — exactly the frame the reference's detector sees
+    (recrop_CelebA-HQ_images.py:17-29: pad, then channel-flip back to BGR)
+    — then shifts boxes back by PAD so they compose with `crop_face`
+    (which pads internally). Returns (N, 5) [x1, y1, x2, y2, score].
+
+    Pass converted Flax `variables`, or `weights_path` to a torch
+    s3fd.pth checkpoint (converted on the fly).
+    """
+    from geomconsistentfr_tpu.models import s3fd
+
+    if variables is None:
+        if weights_path is None:
+            raise ValueError("need s3fd variables or weights_path")
+        variables = s3fd.load_s3fd_weights(weights_path)
+    detect = _detect_fn or s3fd.detect_faces
+    padded = np.pad(
+        np.asarray(image_rgb), ((PAD, PAD), (PAD, PAD), (0, 0)),
+        mode="reflect",
+    )
+    det = np.asarray(detect(padded[..., ::-1], variables))
+    if len(det):
+        det = det.copy()
+        det[:, :4] -= PAD
+    return det
+
+
 def box_from_mask(mask: np.ndarray, threshold: float | None = None) -> Box:
     """Face box from a skin/face mask: tight bounding box of mask > threshold.
 
