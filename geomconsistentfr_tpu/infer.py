@@ -257,21 +257,24 @@ class Relighter:
                 axis = mesh.axis_names[0]
                 n_sample_shards = mesh.size
                 batch_spec = P()
-            # Equal contiguous per-device slices (tail pad duplicates the
-            # final offset, which cannot change the running min).
-            ts_sharded = jnp.asarray(
-                shadows_ops.sharded_sample_ts(rcfg, n_sample_shards)
-            )
             on_tpu = _on_tpu()
             # Draft tier: render() hands the march_fn the POOLED inputs, so
             # the kernel runs under the scaled config. The t grid is scale-
-            # invariant (it parameterises the pixel->border segment), so the
-            # sharded slices above need no change and the pmin combine stays
-            # exact at any resolution.
+            # invariant (it parameterises the pixel->border segment), but it
+            # is NOT stride-invariant — scaled_render_cfg coarsens t_step by
+            # shadow_lowres_t_stride — so the sharded slices must come from
+            # the SCALED config (the same grid the unsharded draft march
+            # walks), or the sharded path would march the fine grid and the
+            # strided-vs-sharded outputs would diverge.
             mcfg = (
                 shadows_ops.scaled_render_cfg(rcfg)
                 if rcfg.shadow_resolution_scale > 1
                 else rcfg
+            )
+            # Equal contiguous per-device slices (tail pad duplicates the
+            # final offset, which cannot change the running min).
+            ts_sharded = jnp.asarray(
+                shadows_ops.sharded_sample_ts(mcfg, n_sample_shards)
             )
 
             def _march_sp(depth, mask, light_point, ts_local,
