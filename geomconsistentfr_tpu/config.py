@@ -119,6 +119,20 @@ class RenderConfig:
     # each slab's loop before the next. Perf knob only; bit-identical.
     shadow_slab_interleave: bool = False
 
+    # March steps fused per kernel loop iteration (1 or 2). At 2, both
+    # steps' x-tap hat builds share one (SUB, W, 2W)-lane array, both
+    # steps' y-taps share one (SUB, W, 4H) array, and ONE block-diagonal
+    # matmul (2W, 4H operand = [[depth^T|ind^T|0|0],[0|0|depth^T|ind^T]])
+    # gathers depth AND indicator for BOTH steps. Pure lane-packing for
+    # sub-128-wide marches (the draft tier's 64^2 low-res march half-fills
+    # every (8,128) vreg and MXU tile; pack=2 fills them). The extra
+    # contraction terms are exact zeros; the only numeric difference from
+    # pack=1 is f32 summation order in the longer dots (<= 6e-6 absolute
+    # measured in interpret mode, no sentinel/argmin disagreements).
+    # Requires the 'bilinear' mask gather (the fast/draft mode). 1
+    # everywhere except the draft tier once qualified on chip.
+    shadow_step_pack: int = 1
+
     # How the kernel gathers the face-mask veto per march sample:
     #   'onehot'   exact one-hot matmuls on both axes at the banker's-rounded
     #              coordinate (bit-matches the reference veto);
@@ -247,6 +261,18 @@ class RenderConfig:
                 f">= stride); got stride {self.shadow_lowres_t_stride}, "
                 f"scale {self.shadow_resolution_scale}, halfwidth "
                 f"{self.shadow_refine_halfwidth}"
+            )
+        if self.shadow_step_pack not in (1, 2):
+            raise ValueError(
+                f"shadow_step_pack must be 1 or 2; got {self.shadow_step_pack}"
+            )
+        if self.shadow_step_pack == 2 and self.shadow_mask_gather not in (
+            "auto", "bilinear"
+        ):
+            raise ValueError(
+                "shadow_step_pack=2 packs the bilinear-veto dataflow; use "
+                f"shadow_mask_gather='bilinear' (got "
+                f"{self.shadow_mask_gather!r})"
             )
 
     @property

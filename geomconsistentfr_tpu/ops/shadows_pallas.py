@@ -28,6 +28,13 @@ f32 t* from the sample table outside the kernel). Matmul precision is
 configurable via RenderConfig.shadow_matmul_precision: 'highest' (true
 f32, bit-close parity) or 'default' (bf16 passes, faster, ~1e-3 relative
 depth error); tiling via shadow_tile_rows/shadow_slab_rows.
+
+RenderConfig.shadow_step_pack=2 (draft-tier turbo) fuses two march steps
+per loop iteration: one (SUB, W, 2W) x-tap hat build, one (SUB, W, 4H)
+y-tap build and ONE block-diagonal (2W, 4H)-operand matmul gather depth
+AND indicator for BOTH steps — lane-packing for sub-128-wide marches
+(the 64^2 low-res draft march half-fills every (8, 128) vreg and MXU
+tile; the pack fills them).
 """
 
 from __future__ import annotations
@@ -69,6 +76,7 @@ def _march_kernel(
     want_tstar: bool,
     cull: bool,
     refine_t_range: tuple[float, float] | None = None,
+    step_pack: int = 1,
 ):
     # Refine mode (refine_t_range set): each step evaluates the PER-PIXEL
     # offset clip(tmap + ts[s], t_range) instead of the shared scalar ts[s].
@@ -76,17 +84,23 @@ def _march_kernel(
     # the veto) is already per-pixel; only the t broadcast changes shape.
     refine = refine_t_range is not None
     mask_hat = mask_mode == "hat"
+    # Pack=2 fuses the indicator into its block-diagonal operand (like hat
+    # mode's widened operand); no separate indicator input then.
+    fused_operand = mask_hat or step_pack == 2
     rest = list(rest_refs)
     # (B, H8) i32 SMEM: per-row any-face flags (8-padded), cull mode only.
     rowany_ref = rest.pop(0) if cull else None
     operand_t_ref = rest.pop(0)   # (1, W, H) depth^T — or (1, W, 2H)
-                                  # [depth^T|indicator^T] in hat mode
+                                  # [depth^T|indicator^T] in hat mode — or
+                                  # (1, 2W, 4H) block-diag in pack=2 mode
     depth_tile_ref = rest.pop(0)  # (1, TILE, W) f32 VMEM: this tile's rows
     tmap_tile_ref = rest.pop(0) if refine else None  # (1, TILE, W) f32 VMEM
-    indicator_t_ref = None if mask_hat else rest.pop(0)
+    indicator_t_ref = None if fused_operand else rest.pop(0)
     out_ref = rest.pop(0)
     tstar_ref = rest.pop(0) if want_tstar else None
     assert not (refine and want_tstar), "refine emits no argmin"
+    assert step_pack in (1, 2)
+    assert step_pack == 1 or (mask_mode == "bilinear" and not refine)
     h, w = cfg.img_height, cfg.img_width
     tr = tile_rows
     img = pl.program_id(0)
@@ -96,8 +110,8 @@ def _march_kernel(
     ly = light_ref[img, 1]
     lz = light_ref[img, 2]
 
-    operand_t = operand_t_ref[0]      # (W, H) or (W, 2H)
-    indicator_t = None if mask_hat else indicator_t_ref[0]  # (W, H)
+    operand_t = operand_t_ref[0]      # (W, H), (W, 2H) or (2W, 4H)
+    indicator_t = None if fused_operand else indicator_t_ref[0]  # (W, H)
 
     # 'high' precision: ~f32-accurate gather via a manual bf16 split —
     # W @ D ≈ Whi@Dhi + Whi@Dlo + Wlo@Dhi, three single-pass bf16 matmuls
@@ -158,6 +172,21 @@ def _march_kernel(
 
     cls_wf = jax.lax.broadcasted_iota(jnp.int32, (sub, w, w), 2).astype(jnp.float32)
     cls_hf = jax.lax.broadcasted_iota(jnp.int32, (sub, w, h), 2).astype(jnp.float32)
+    if step_pack == 2:
+        # Packed-pair tap classes (loop-invariant): lanes [0, W) carry step
+        # s0's x taps, [W, 2W) step s1's; the y classes repeat [0, H) four
+        # times for the [b0 | m0 | b1 | m1] packed reduction layout.
+        ix2 = jax.lax.broadcasted_iota(jnp.int32, (sub, w, 2 * w), 2)
+        seg_x2 = ix2 >= w
+        cls_x2 = (ix2 - jnp.where(seg_x2, w, 0)).astype(jnp.float32)
+        iy4 = jax.lax.broadcasted_iota(jnp.int32, (sub, w, 4 * h), 2)
+        seg_y4 = iy4 >= 2 * h
+        cls_y4 = jnp.remainder(iy4, h).astype(jnp.float32)
+        jsel = jax.lax.broadcasted_iota(jnp.int32, (4 * h, 1), 0)
+        sel_cols = [
+            ((jsel >= k * h) & (jsel < (k + 1) * h)).astype(jnp.float32)
+            for k in range(4)
+        ]
 
     def hat(cls, coord):
         # max(0, 1 - |cls - coord|): the bilinear tap weights in one closed
@@ -420,6 +449,82 @@ def _march_kernel(
         n2 = cx * cx + cy * cy + cz * cz
         return jnp.where(on_face == 0.0, _OFF_FACE_N2, n2)
 
+    def sample_pair_n2(c, t0, t1):
+        """Two march samples with lane-packed builds and ONE gather matmul.
+
+        Draft-tier turbo (shadow_step_pack=2): at the 64^2 low-res march
+        every (SUB, W, W)/(SUB, W, H) tap array half-fills its (8, 128)
+        vregs and MXU tiles. Packing both steps' x taps into one
+        (SUB, W, 2W) hat build, both steps' y taps into one (SUB, W, 4H)
+        build and gathering depth AND indicator for BOTH steps through one
+        block-diagonal (2W, 4H) matmul fills them. The extra contraction
+        terms are exact zeros (a step's tap lanes only meet its own
+        operand rows; hat weights vanish outside [coord-1, coord+1]); the
+        only numeric difference from two sample_n2 calls is f32 summation
+        ORDER inside the longer dots (measured <= 6e-6 absolute in
+        interpret mode, no sentinel/argmin disagreements —
+        tests/test_shadows_pack.py).
+        """
+        xx, yy = c["xx"], c["yy"]
+        per_step = []
+        for t in (t0, t1):
+            sx = xx + t * c["diff_x"]
+            sy = yy + t * c["diff_y"]
+            xt = sx + w / 2.0 - _EPS
+            yt = (h / 2.0 - sy) - _EPS
+            per_step.append(
+                (xt, yt, jnp.clip(xt, 0.0, w - 1.0), jnp.clip(yt, 0.0, h - 1.0))
+            )
+        cx2 = jnp.where(
+            seg_x2, per_step[1][2][..., None], per_step[0][2][..., None]
+        )
+        wx2 = jnp.maximum(0.0, 1.0 - jnp.abs(cls_x2 - cx2))
+        cy4 = jnp.where(
+            seg_y4, per_step[1][3][..., None], per_step[0][3][..., None]
+        )
+        hat_y4 = jnp.maximum(0.0, 1.0 - jnp.abs(cls_y4 - cy4))
+        # [b0 | m0 | b1 | m1]: one fully-packed gather for both steps.
+        bw = gather_dot(wx2.reshape(sub * w, 2 * w)).reshape(sub, w, 4 * h)
+        prod = (bw * hat_y4).reshape(sub * w, 4 * h)
+
+        def matvec(sel):
+            out = jax.lax.dot_general(
+                prod,
+                sel,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            return out.reshape(sub, w, 1)[:, :, 0]
+
+        reduced = [matvec(s) for s in sel_cols]
+        outs = []
+        for k, (xt, yt, _xtc, _ytc) in enumerate(per_step):
+            d_interp = reduced[2 * k]
+            on_face = jnp.where(reduced[2 * k + 1] > 0.5, 1.0, 0.0)
+            ba_x = (xt - w / 2.0) - xx
+            ba_y = (h / 2.0 - yt) - yy
+            ba_z = d_interp - c["depth_px"]
+            ccx = ba_y * c["bc_z"] - ba_z * c["bc_y"]
+            ccy = ba_z * c["bc_x"] - ba_x * c["bc_z"]
+            ccz = ba_x * c["bc_y"] - ba_y * c["bc_x"]
+            n2 = ccx * ccx + ccy * ccy + ccz * ccz
+            outs.append(jnp.where(on_face == 0.0, _OFF_FACE_N2, n2))
+        return outs
+
+    def step_samples(c, i):
+        """Loop iteration i's [(sample index, norm^2)] under the pack."""
+        if step_pack == 1:
+            return [(i, sample_n2(c, step_t(c, i)))]
+        return list(
+            zip(
+                (2 * i, 2 * i + 1),
+                sample_pair_n2(c, ts_ref[2 * i, 0], ts_ref[2 * i + 1, 0]),
+            )
+        )
+
+    n_loop = ts_ref.shape[0] // step_pack
+
     def slab_live(k):
         """Scalar i32: does this slab's 8-row-aligned group have any face?
 
@@ -467,25 +572,25 @@ def _march_kernel(
         # Mosaic can overlap one slab's VPU builds with another's MXU work.
         consts = [slab_consts(k) for k in range(n_sub)]
 
-        def step_all(s, carry):
+        def step_all(i, carry):
             out = []
             for k in range(n_sub):
-                n2 = sample_n2(consts[k], step_t(consts[k], s))
-                if tstar_ref is None:
-                    out.append(jnp.minimum(carry[k], n2))
-                else:
-                    min_acc, sbest = carry[k]
-                    out.append(
-                        (jnp.minimum(min_acc, n2),
-                         jnp.where(n2 < min_acc, s, sbest))
-                    )
+                acc = carry[k]
+                for sidx, n2 in step_samples(consts[k], i):
+                    if tstar_ref is None:
+                        acc = jnp.minimum(acc, n2)
+                    else:
+                        min_acc, sbest = acc
+                        acc = (jnp.minimum(min_acc, n2),
+                               jnp.where(n2 < min_acc, sidx, sbest))
+                out.append(acc)
             return tuple(out)
 
         init = tuple(
             init_min if tstar_ref is None else (init_min, init_t)
             for _ in range(n_sub)
         )
-        finals = jax.lax.fori_loop(0, ts_ref.shape[0], step_all, init,
+        finals = jax.lax.fori_loop(0, n_loop, step_all, init,
                                    unroll=unroll)
         for k in range(n_sub):
             # Interleave mode shares one step loop across slabs, so culled
@@ -501,20 +606,22 @@ def _march_kernel(
         for k in range(n_sub):
             c = slab_consts(k)
 
-            def step(s, carry, c=c):
-                n2 = sample_n2(c, step_t(c, s))
-                if tstar_ref is None:
-                    return jnp.minimum(carry, n2)
-                min_acc, sbest = carry
-                return (
-                    jnp.minimum(min_acc, n2),
-                    jnp.where(n2 < min_acc, s, sbest),
-                )
+            def step(i, carry, c=c):
+                for sidx, n2 in step_samples(c, i):
+                    if tstar_ref is None:
+                        carry = jnp.minimum(carry, n2)
+                    else:
+                        min_acc, sbest = carry
+                        carry = (
+                            jnp.minimum(min_acc, n2),
+                            jnp.where(n2 < min_acc, sidx, sbest),
+                        )
+                return carry
 
             init = init_min if tstar_ref is None else (init_min, init_t)
 
             def run_and_store(k=k, c=c, step=step, init=init):
-                final = jax.lax.fori_loop(0, ts_ref.shape[0], step, init,
+                final = jax.lax.fori_loop(0, n_loop, step, init,
                                           unroll=unroll)
                 if tstar_ref is None:
                     store_slab(k, final, None, c["denom"])
@@ -804,6 +911,21 @@ def _march_pallas_call(
     if mask_mode not in ("onehot", "hat", "hat_y", "bilinear"):
         raise ValueError(f"unknown shadow_mask_gather: {mask_mode}")
     mask_hat = mask_mode == "hat"
+    # The refine window is a handful of full-resolution steps (lanes already
+    # packed, odd step counts common) — keep it unpacked.
+    step_pack = cfg.shadow_step_pack if tmap is None else 1
+    if step_pack == 2:
+        if mask_mode != "bilinear":
+            raise ValueError(
+                "shadow_step_pack=2 packs the bilinear-veto dataflow; "
+                f"resolved mask gather is {mask_mode!r} (use the fast/draft "
+                "precision modes)"
+            )
+        if precision != jax.lax.Precision.DEFAULT:
+            raise ValueError(
+                "shadow_step_pack=2 is a fast-mode (bf16 matmul) packing; "
+                f"shadow_matmul_precision resolved to {precision!r}"
+            )
     if tmap is not None:
         assert not return_argmin_t, "refine emits no argmin"
         full_ts = shadows_ref.sample_ts(cfg)
@@ -820,13 +942,36 @@ def _march_pallas_call(
         want_tstar=return_argmin_t,
         cull=cull,
         refine_t_range=refine_t_range,
+        step_pack=step_pack,
     )
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     tile_block = pl.BlockSpec(
         (1, tile_rows, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
-    if mask_hat:
+    if step_pack == 2:
+        # Block-diagonal pair operand: rows [0, W) serve step s0's taps with
+        # [depth^T | indicator^T] in its output half, rows [W, 2W) serve
+        # step s1's in the other half. The zero blocks are exact at any
+        # matmul precision, so the packed gather is bit-identical to two
+        # separate ones in exact arithmetic.
+        zd = jnp.zeros_like(depth_t)
+        zi = jnp.zeros_like(indicator_t)
+        operand_t = jnp.concatenate(
+            [
+                jnp.concatenate([depth_t, indicator_t, zd, zi], axis=-1),
+                jnp.concatenate([zd, zi, depth_t, indicator_t], axis=-1),
+            ],
+            axis=-2,
+        )  # (B, 2W, 4H)
+        inputs = [jnp.asarray(ts), light2d, operand_t, depth_in]
+        in_specs = [
+            smem,
+            smem,
+            pl.BlockSpec((1, 2 * w, 4 * h), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            tile_block,
+        ]
+    elif mask_hat:
         # Widened operand: the single hat matmul gathers depth and indicator.
         operand_t = jnp.concatenate([depth_t, indicator_t], axis=-1)  # (B, W, 2H)
         inputs = [jnp.asarray(ts), light2d, operand_t, depth_in]

@@ -41,7 +41,7 @@ FIXTURES = [
 ]
 
 
-def draft4_cfg(base, halfwidth: int, t_stride: int = 1):
+def draft4_cfg(base, halfwidth: int, t_stride: int = 1, step_pack: int = 1):
     from geomconsistentfr_tpu.config import apply_precision_tier
 
     cfg = apply_precision_tier(base, "draft")
@@ -52,6 +52,7 @@ def draft4_cfg(base, halfwidth: int, t_stride: int = 1):
             shadow_resolution_scale=4,
             shadow_refine_halfwidth=halfwidth,
             shadow_lowres_t_stride=t_stride,
+            shadow_step_pack=step_pack,
         ),
     )
 
@@ -63,6 +64,9 @@ def main() -> None:
     ap.add_argument("--t-stride", type=int, default=1,
                     help="low-res march t-grid stride "
                     "(RenderConfig.shadow_lowres_t_stride)")
+    ap.add_argument("--step-pack", type=int, default=1,
+                    help="march steps fused per kernel loop iteration "
+                    "(RenderConfig.shadow_step_pack)")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--skip-bench", action="store_true",
@@ -85,6 +89,7 @@ def main() -> None:
         "device": f"{device.platform}:{device.device_kind}",
         "halfwidth": args.halfwidth,
         "t_stride": args.t_stride,
+        "step_pack": args.step_pack,
         "metric": "psnr_db = face-mask-weighted rendered PSNR vs the "
         "reference torch forward (the reference-visible surface); "
         "throughput per bench.py methodology (real FFHQ face mask, "
@@ -101,7 +106,8 @@ def main() -> None:
             kwargs = {"target_light": fx["target_light"]}
             if "target_ambient" in fx:
                 kwargs["target_ambient"] = fx["target_ambient"]
-            cfg = draft4_cfg(PRESETS[preset](), args.halfwidth, args.t_stride)
+            cfg = draft4_cfg(PRESETS[preset](), args.halfwidth,
+                             args.t_stride, args.step_pack)
             rl = load_relighter(CKPT, cfg=cfg)
             out = rl.forward(fx["image"][None], fx["mask"][None], **kwargs)
             got = np.asarray(out.rendered, np.float32)
@@ -113,7 +119,8 @@ def main() -> None:
             cell = {
                 "fixture": fname,
                 "class": klass,
-                "tier": f"draft_scale4_hw{args.halfwidth}_ts{args.t_stride}",
+                "tier": f"draft_scale4_hw{args.halfwidth}_ts{args.t_stride}"
+                f"_sp{args.step_pack}",
                 "psnr_db": round(10.0 * np.log10(1.0 / max(mse_vis, 1e-12)), 2),
                 "psnr_raw_db": round(
                     10.0 * np.log10(1.0 / max(float(np.mean(sq)), 1e-12)), 2
@@ -132,7 +139,8 @@ def main() -> None:
             json.dump(result, f, indent=1)
         print(f"wrote {args.out} (parity only)", flush=True)
         return
-    cfg = draft4_cfg(preset_single_image(), args.halfwidth, args.t_stride)
+    cfg = draft4_cfg(preset_single_image(), args.halfwidth,
+                     args.t_stride, args.step_pack)
     model = RelightNet(cfg=cfg.model)
     rng = np.random.default_rng(0)
     batch = args.batch
