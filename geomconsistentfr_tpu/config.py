@@ -506,19 +506,22 @@ PRESETS = {
 #             boundary placement that pure upsampling loses), and the
 #             low-res march striding every 2nd t-grid offset
 #             (shadow_lowres_t_stride=2 — the halfwidth-4 refine window
-#             re-searches the strided argmin's ±t_step error exactly).
-#             On chip: 308.6 img/s at batch 64, worst bundled fixture
-#             45.78 dB face-visible (docs/BENCH_draft4.json) — parity
-#             IDENTICAL to the unstrided scale-4 march (45.75 dB) at
-#             +33% throughput, and the same parity class as the former
-#             scale-2 tier (46.6 dB) at 3.1x its throughput; scale 2 /
-#             stride 1 stay reachable via config overrides. Stride 4
-#             measured 377 img/s but drops the worst fixture 1.1 dB
-#             (44.6 dB, docs/BENCH_draft4_ts4_rejected.json) — rejected
-#             for the default, available via
-#             config. Preview/thumbnail serving; the only tier that
-#             changes WHICH computation runs rather than just its
-#             arithmetic precision.
+#             re-searches the strided argmin's ±t_step error exactly),
+#             and the low-res march lane-packed two t-steps per vreg
+#             (shadow_step_pack=2: the 64-wide march half-fills (8,128)
+#             vregs/MXU tiles; packing fills them — 328.1 img/s vs 308.6
+#             at bit-identical parity cells, docs/BENCH_draft4_sp2.json).
+#             On chip: worst bundled fixture 45.78 dB face-visible
+#             (docs/BENCH_draft4.json) — parity IDENTICAL to the
+#             unstrided scale-4 march (45.75 dB) at +33% throughput, and
+#             the same parity class as the former scale-2 tier (46.6 dB)
+#             at >3x its throughput; scale 2 / stride 1 / pack 1 stay
+#             reachable via config overrides. Stride 4 measured 377 img/s
+#             but drops the worst fixture 1.1 dB (44.6 dB,
+#             docs/BENCH_draft4_ts4_rejected.json) — rejected for the
+#             default, available via config. Preview/thumbnail serving;
+#             the only tier that changes WHICH computation runs rather
+#             than just its arithmetic precision.
 PRECISION_TIERS = ("strict", "high", "fast", "draft")
 
 
@@ -541,6 +544,11 @@ def apply_precision_tier(cfg: "PipelineConfig", tier: str) -> "PipelineConfig":
             shadow_resolution_scale=scale,
             shadow_refine_halfwidth=4 if tier == "draft" else 0,
             shadow_lowres_t_stride=2 if tier == "draft" else 1,
+            # Lane-pack the draft tier's 64-wide low-res march: two t-grid
+            # steps share each (8,128) vreg / MXU tile (qualified on chip:
+            # 328.1 img/s vs 308.6 at bit-identical parity cells,
+            # docs/BENCH_draft4_sp2.json).
+            shadow_step_pack=2 if tier == "draft" else 1,
             # Exact on every masked surface (see RenderConfig); all tiers
             # skip the march for fully-off-face 8-row groups.
             shadow_mask_cull=True,

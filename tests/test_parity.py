@@ -213,6 +213,53 @@ def test_target_lighting_path_parity():
     assert np.abs(sw - fx["shadow_weights"].reshape(sw.shape)).mean() < 1e-3
 
 
+NEW_TARGET_FIXTURES = [
+    # The six bundled FFHQ triples whose recorded generating presets
+    # (/root/reference/test_relight_single_image.py:519-562) were not covered
+    # by the original four fixtures: right low-elevation (MP4), left high-z
+    # (MP9), far-left (MP10) and upper-left (MP17) light classes.
+    "ref_target_00110_mp4.npz",
+    "ref_target_00300_mp4.npz",
+    "ref_target_00525_mp4.npz",
+    "ref_target_00290_mp9.npz",
+    "ref_target_00572_mp10.npz",
+    "ref_target_00695_mp17.npz",
+]
+
+
+@pytest.fixture(scope="module")
+def target_relighter():
+    if not os.path.exists(CKPT):
+        pytest.skip("reference checkpoint unavailable")
+    import dataclasses
+
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.infer import load_relighter
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, conv_precision="highest")
+    )
+    return load_relighter(CKPT, cfg=cfg)
+
+
+@pytest.mark.parametrize("fname", NEW_TARGET_FIXTURES)
+def test_target_light_class_parity(target_relighter, fname):
+    """All remaining bundled light classes, end to end vs the reference
+    forward (one shared compile; fixtures from make_golden_fixture_target.py)."""
+    fx = np.load(os.path.join(os.path.dirname(__file__), "golden", fname))
+    out = target_relighter.forward(
+        fx["image"][None], fx["mask"][None], target_light=fx["target_light"]
+    )
+    got = np.asarray(out.rendered)
+    want = _nchw_to_nhwc(fx["rendered"])
+    mse = float(np.mean((got - want) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= 45.0, f"{fname} rendered PSNR {psnr:.2f} dB"
+    sw = np.asarray(out.shadow_mask_weights)
+    assert np.abs(sw - fx["shadow_weights"].reshape(sw.shape)).mean() < 1e-3
+
+
 def test_rendered_psnr_default_precision(fixture):
     """The fast (default-precision) path still clears the 40 dB north star."""
     if not os.path.exists(CKPT):

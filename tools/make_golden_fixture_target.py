@@ -1,4 +1,4 @@
-"""Generate tests/golden/ref_target_00295.npz — target-lighting path oracle.
+"""Generate target-lighting-path parity fixtures (tests/golden/ref_target_*.npz).
 
 The reference's target-lighting checkpoint is a missing blob upstream, but the
 transfer checkpoint embeds exactly into the target architecture (1x1 shortcut
@@ -7,10 +7,13 @@ transfer checkpoint embeds exactly into the target architecture (1x1 shortcut
   2. loads it into the reference test_relight_single_image.RelightNet
      (3x3-shortcut architecture, ambient est-0.1, 160 samples, f=1570,
      inside-image +5.0 gate),
-  3. records the reference CPU forward on a bundled FFHQ sample.
-The parity test then checks this framework's single_image preset end to end.
+  3. records the reference CPU forward on a bundled FFHQ sample under the
+     lighting preset the reference recorded for that sample
+     (/root/reference/test_relight_single_image.py:519-562).
+The parity suite then checks this framework's single_image preset end to end.
 
-Usage: python tools/make_golden_fixture_target.py
+Usage: python tools/make_golden_fixture_target.py [--image 00295.png]
+           [--light lx,ly,lz] [--out-name ref_target_00295.npz]
 """
 
 import os
@@ -24,7 +27,7 @@ TARGET_LIGHT = np.array([[0.0, 0.7071, 0.7071]], np.float32)  # A00E45
 IMAGE = "00295.png"
 
 
-def main() -> None:
+def main(image=IMAGE, light=None, out_name=None) -> None:
     import cv2
     import imageio.v2 as imageio
     import torch
@@ -35,6 +38,13 @@ def main() -> None:
         variables_to_torch_state,
     )
     from tests.oracles.reference_loader import intrinsics, load_reference_module
+
+    light = (
+        TARGET_LIGHT
+        if light is None
+        else np.asarray(light, np.float32).reshape(1, 3)
+    )
+    out_name = out_name or f"ref_target_{image.split('.')[0]}.npz"
 
     variables = transfer_to_target_variant(
         load_relightnet_variables(
@@ -50,11 +60,11 @@ def main() -> None:
     model = model.float().eval()
 
     img = cv2.resize(
-        imageio.imread(f"/root/reference/sample_test_images_FFHQ/{IMAGE}") / 255.0,
+        imageio.imread(f"/root/reference/sample_test_images_FFHQ/{image}") / 255.0,
         (256, 256),
     ).astype(np.float32)
     mask = (
-        imageio.imread(f"/root/reference/FFHQ_skin_masks/{IMAGE}").astype(np.float32)
+        imageio.imread(f"/root/reference/FFHQ_skin_masks/{image}").astype(np.float32)
         / 255.0
     )
 
@@ -64,7 +74,7 @@ def main() -> None:
             200,
             intrinsics(1570.0),
             torch.from_numpy(mask[..., None]),
-            torch.from_numpy(TARGET_LIGHT.reshape(1, 3, 1, 1)),
+            torch.from_numpy(light.reshape(1, 3, 1, 1)),
             torch.from_numpy(np.zeros((1, 1, 1), np.float32)),  # dead arg
             torch.from_numpy(mask[None, ..., None]),            # dead arg
         )
@@ -75,18 +85,26 @@ def main() -> None:
     dest = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
     os.makedirs(dest, exist_ok=True)
     np.savez_compressed(
-        os.path.join(dest, "ref_target_00295.npz"),
+        os.path.join(dest, out_name),
         image=img,
         mask=mask,
-        target_light=TARGET_LIGHT,
+        target_light=light,
         albedo=albedo,
         depth=depth,
         shadow_weights=sw,
         rendered=rend,
         final_shading=final,
     )
-    print("wrote tests/golden/ref_target_00295.npz")
+    print(f"wrote tests/golden/{out_name}")
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image", default=IMAGE)
+    ap.add_argument("--light", default=None, help="lx,ly,lz")
+    ap.add_argument("--out-name", default=None)
+    a = ap.parse_args()
+    light = [float(v) for v in a.light.split(",")] if a.light else None
+    main(a.image, light, a.out_name)

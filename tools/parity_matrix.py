@@ -43,11 +43,20 @@ CKPT = "/root/reference/model_lighting_transfer/model_epoch106.pth"
 GOLDEN = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 
 FIXTURES = [
-    # (file, preset, class)
+    # (file, preset, class) — all 10 bundled FFHQ triples, each under the
+    # lighting preset the reference recorded for it
+    # (/root/reference/test_relight_single_image.py:519-562); the transfer
+    # fixtures additionally exercise the f=700 transfer forward.
     ("ref_transfer_00104.npz", "lighting_transfer", "upper-right light"),
     ("ref_transfer_00508_bottomleft.npz", "lighting_transfer", "corner light"),
     ("ref_transfer_00322_insidelight.npz", "lighting_transfer", "inside-image light"),
-    ("ref_target_00295.npz", "single_image", "target path"),
+    ("ref_target_00295.npz", "single_image", "target path (top light A00E45)"),
+    ("ref_target_00110_mp4.npz", "single_image", "right low-elev light (MP4)"),
+    ("ref_target_00300_mp4.npz", "single_image", "right low-elev light (MP4)"),
+    ("ref_target_00525_mp4.npz", "single_image", "right low-elev light (MP4)"),
+    ("ref_target_00290_mp9.npz", "single_image", "left high-z light (MP9)"),
+    ("ref_target_00572_mp10.npz", "single_image", "far-left light (MP10)"),
+    ("ref_target_00695_mp17.npz", "single_image", "upper-left light (MP17)"),
 ]
 
 
