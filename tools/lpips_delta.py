@@ -65,13 +65,11 @@ def build_protocol_dump(root: str, n_images: int, rng) -> tuple[str, str, str]:
     return out_dir, gt_dir, mask_dir
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--images", type=int, default=48)
-    ap.add_argument("--net", default="alex", choices=("alex", "vgg", "squeeze"))
-    ap.add_argument("--out", default=os.path.join("docs", "LPIPS_delta.json"))
-    args = ap.parse_args()
-
+def run(images: int = 48, net: str = "alex",
+        out: str = os.path.join("docs", "LPIPS_delta.json"),
+        trunk: str = None) -> dict:
+    """Run the delta protocol; with trunk= a real torchvision state_dict
+    (.pth/.npz), the committed number IS the BASELINE north star."""
     import numpy as np
 
     import jax
@@ -81,15 +79,19 @@ def main() -> None:
     import imageio.v2 as imageio
 
     from geomconsistentfr_tpu.metrics.eval_multipie import evaluate_output_dir
-    from geomconsistentfr_tpu.models.lpips import LPIPSMetric
+    from geomconsistentfr_tpu.models.lpips import LPIPSMetric, load_trunk_state
     from tests.oracles.lpips_torch_oracle import lpips_spatial_torch
 
+    trunk_state = load_trunk_state(trunk, net=net) if trunk else None
     rng = np.random.default_rng(7)
     with tempfile.TemporaryDirectory(prefix="gcfr_lpips_delta_") as root:
-        out_dir, gt_dir, mask_dir = build_protocol_dump(root, args.images, rng)
+        out_dir, gt_dir, mask_dir = build_protocol_dump(root, images, rng)
 
         # JAX side: the SHIPPING eval path, end to end.
-        metric = LPIPSMetric(net=args.net, allow_random_trunk=True)
+        metric = LPIPSMetric(
+            net=net, trunk_state=trunk_state,
+            allow_random_trunk=trunk_state is None,
+        )
         jax_result = evaluate_output_dir(
             out_dir, gt_dir, mask_dir, lpips_fn=metric
         )
@@ -121,7 +123,7 @@ def main() -> None:
             ) / 255.0
             dist_t = lpips_spatial_torch(
                 gt.astype(np.float32), pred.astype(np.float32), trunk, lins,
-                net=args.net,
+                net=net,
             )
             num = float(np.sum(mask * dist_t))
             den = float(np.sum((mask * dist_t) > 0))
@@ -140,12 +142,17 @@ def main() -> None:
             "(masked spatial LPIPS, >0 denominator, test_network.py:46-48) vs "
             "the torch transcription of lpips/lpips.py:22-241 with SHARED "
             "fixed-seed trunk weights and the reference v0.1 lin heads.",
-            "trunk": f"fixed-seed random {args.net} trunk (torchvision zoo "
-            "unavailable offline); real weights drop in via eval-multipie "
-            "--lpips-trunk with zero code change, making this same number "
-            "the BASELINE north star.",
-            "net": args.net,
-            "images": args.images,
+            "trunk": (
+                f"REAL torchvision {net} trunk ({trunk}) — this number IS "
+                "the BASELINE LPIPS-delta north star."
+                if trunk
+                else f"fixed-seed random {net} trunk (torchvision zoo "
+                "unavailable offline); real weights drop in via --trunk / "
+                "eval-multipie --lpips-trunk with zero code change, making "
+                "this same number the BASELINE north star."
+            ),
+            "net": net,
+            "images": images,
         },
         "per_image_abs_delta": [round(d, 9) for d in deltas],
         "jax_masked_lpips_mean": float(np.mean(jax_means)),
@@ -159,14 +166,29 @@ def main() -> None:
     assert abs(
         report["eval_harness_lpips_mean"] - report["jax_masked_lpips_mean"]
     ) < 1e-9
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({
         "worst_abs_delta": worst,
         "north_star_1e-3": report["north_star_1e-3"],
-        "out": args.out,
+        "out": out,
     }))
+    return report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=48)
+    ap.add_argument("--net", default="alex", choices=("alex", "vgg", "squeeze"))
+    ap.add_argument("--out", default=os.path.join("docs", "LPIPS_delta.json"))
+    ap.add_argument(
+        "--trunk", default=None,
+        help="real torchvision trunk state_dict (.pth/.npz); makes the "
+        "committed delta THE BASELINE north star",
+    )
+    args = ap.parse_args()
+    run(images=args.images, net=args.net, out=args.out, trunk=args.trunk)
 
 
 if __name__ == "__main__":
