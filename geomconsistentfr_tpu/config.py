@@ -184,6 +184,21 @@ class RenderConfig:
     # off so raw arrays match the reference everywhere.
     shadow_mask_cull: bool = False
 
+    # Column-aware cull granularity (lane-dimension extension of
+    # shadow_mask_cull; no effect unless the cull is on). With a chunk
+    # width C > 0, the cull unit shrinks from a full 8-row group to an
+    # (8-row x C-column) block: the kernel processes each slab as
+    # independent C-wide column chunks, and chunks whose block is entirely
+    # off-face skip the march (same exactness argument — culled pixels are
+    # a subset of mask==0 pixels, which nothing reference-visible ever
+    # reads). On the bundled FFHQ face masks the left/right margins inside
+    # on-face row bands are ~25-30% of all blocks at C=64 — work the row
+    # cull cannot skip. The per-step temporaries become (SUB, C, W)-shaped:
+    # the lane (tap-class) axis stays full, so vregs and MXU tiles stay
+    # filled; only the matmul M extent shrinks. 0 = row-granular cull
+    # (the pre-round-5 behaviour). Values >= img_width degrade to 0.
+    shadow_col_chunk: int = 0
+
     # Draft-mode shadow march resolution divisor (serving turbo; the 'draft'
     # precision tier sets 2). The march runs on an s x s mean-pooled depth
     # map with depth, light and the pixel grid all scaled by 1/s, and the
@@ -262,6 +277,18 @@ class RenderConfig:
                 f"scale {self.shadow_resolution_scale}, halfwidth "
                 f"{self.shadow_refine_halfwidth}"
             )
+        if self.shadow_col_chunk:
+            if self.shadow_col_chunk % 8:
+                raise ValueError(
+                    "shadow_col_chunk must be a multiple of 8 (sublane "
+                    f"granularity); got {self.shadow_col_chunk}"
+                )
+            eff = min(self.shadow_col_chunk, self.img_width)
+            if self.img_width % eff:
+                raise ValueError(
+                    "shadow_col_chunk must divide img_width; got chunk "
+                    f"{self.shadow_col_chunk} for width {self.img_width}"
+                )
         if self.shadow_step_pack not in (1, 2):
             raise ValueError(
                 f"shadow_step_pack must be 1 or 2; got {self.shadow_step_pack}"
@@ -383,6 +410,20 @@ class TrainConfig:
     # the reference saves every epoch forever, train_raytracing_...py:684-685).
     keep_checkpoints: int = 3
     log_every_steps: int = 1
+    # Where training batches live. 'device' uploads the WHOLE training set
+    # to device memory once and assembles batches with on-device gathers
+    # driven by tiny int32 index uploads (12 B/step); 'stream' keeps the
+    # per-step packed host->device upload; 'auto' picks 'device' on a
+    # single-device mesh when the stored dataset fits device_data_budget_mb
+    # (batch values are identical either way — same index stream, same
+    # stored bytes, same on-device u8->f32 decode). Residency exists for
+    # throughput (no host batch assembly) AND because this machine's
+    # remote-TPU (axon) PJRT plugin leaks every device_put's host staging
+    # buffer: a protocol-shape streaming soak leaked 5.25 MB/step to 79 GB
+    # RSS in 65 min, while the resident path is flat (tools/leak_probe.py,
+    # docs/HOST_LEAK_probe.md).
+    data_residency: str = "auto"
+    device_data_budget_mb: int = 2048
 
 
 # ---------------------------------------------------------------------------
@@ -550,8 +591,12 @@ def apply_precision_tier(cfg: "PipelineConfig", tier: str) -> "PipelineConfig":
             # docs/BENCH_draft4_sp2.json).
             shadow_step_pack=2 if tier == "draft" else 1,
             # Exact on every masked surface (see RenderConfig); all tiers
-            # skip the march for fully-off-face 8-row groups.
+            # skip the march for fully-off-face 8-row groups, and the
+            # column-aware cull additionally skips the off-face left/right
+            # margins inside on-face row bands at 64-column granularity
+            # (~25-30% of blocks on the bundled FFHQ masks).
             shadow_mask_cull=True,
+            shadow_col_chunk=64,
         ),
     )
 

@@ -321,6 +321,33 @@ def cull_live_rows(mask: Array) -> Array:
     return jnp.repeat(group_any, 8)[:h]
 
 
+def cull_live_blocks(mask: Array, col_chunk: int) -> Array:
+    """(H, W) mask -> (H, W) bool: pixel's (8-row x C-col) block has any face.
+
+    The column-aware cull unit (RenderConfig.shadow_col_chunk). Blocks are
+    FIXED 8-row-aligned x C-column-aligned, independent of kernel slab/chunk
+    tiling, so the culled pixel set is identical across the pure-XLA path
+    and the Pallas kernel. col_chunk >= W degrades to cull_live_rows'
+    row-group semantics (one block per group).
+    """
+    h, w = mask.shape
+    c = min(col_chunk, w)
+    assert w % c == 0, (w, col_chunk)
+    row_pad = (-h) % 8
+    on = mask != 0
+    if row_pad:
+        on = jnp.concatenate([on, jnp.zeros((row_pad, w), on.dtype)])
+    block_any = on.reshape(-1, 8, w // c, c).any(axis=(1, 3))
+    return jnp.repeat(jnp.repeat(block_any, 8, axis=0)[:h], c, axis=1)
+
+
+def _cull_live(mask: Array, cfg: RenderConfig) -> Array:
+    """(H, W) bool liveness under the configured cull granularity."""
+    if cfg.shadow_col_chunk:
+        return cull_live_blocks(mask, cfg.shadow_col_chunk)
+    return jnp.broadcast_to(cull_live_rows(mask)[:, None], mask.shape)
+
+
 def ray_march_min_distance(
     depth: Array,
     mask: Array,
@@ -458,7 +485,7 @@ def ray_march_min_distance(
         # (see RenderConfig.shadow_mask_cull for the exactness argument).
         # This path selects rather than skips — it is the oracle, not the
         # optimisation.
-        live = cull_live_rows(mask)[:, None]
+        live = _cull_live(mask, cfg)
         min_distance = jnp.where(
             live, min_distance, jnp.asarray(_OFF_FACE_DISTANCE, dtype)
         )
@@ -682,7 +709,7 @@ def refine_min_distance(
         jnp.asarray(offsets, dtype),
     )
     if cfg.shadow_mask_cull:
-        live = cull_live_rows(mask)[:, None]
+        live = _cull_live(mask, cfg)
         best = jnp.where(live, best, jnp.asarray(_OFF_FACE_DISTANCE, dtype))
     if cfg.shadow_bias_gate != "none":
         gate = _bias_gate(light_point[0], light_point[1], cfg)

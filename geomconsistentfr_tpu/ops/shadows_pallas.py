@@ -77,6 +77,7 @@ def _march_kernel(
     cull: bool,
     refine_t_range: tuple[float, float] | None = None,
     step_pack: int = 1,
+    col_chunk: int = 0,
 ):
     # Refine mode (refine_t_range set): each step evaluates the PER-PIXEL
     # offset clip(tmap + ts[s], t_range) instead of the shared scalar ts[s].
@@ -88,7 +89,10 @@ def _march_kernel(
     # mode's widened operand); no separate indicator input then.
     fused_operand = mask_hat or step_pack == 2
     rest = list(rest_refs)
-    # (B, H8) i32 SMEM: per-row any-face flags (8-padded), cull mode only.
+    # Cull-mode liveness flags, i32 SMEM. Row cull (col_chunk == 0):
+    # (B, H8) per-row any-face flags (8-padded). Column cull: (B, G * NC)
+    # per-(8-row-group, column-chunk) any-face flags, flat-indexed
+    # [img, g * NC + c].
     rowany_ref = rest.pop(0) if cull else None
     operand_t_ref = rest.pop(0)   # (1, W, H) depth^T — or (1, W, 2H)
                                   # [depth^T|indicator^T] in hat mode — or
@@ -164,22 +168,29 @@ def _march_kernel(
     sub = min(slab, tr)
     assert tr % sub == 0, (tr, sub)
     n_sub = tr // sub
+    # Column-chunk width: the pixel set of one cull/processing unit is
+    # (sub rows x cw columns). Tap-class (lane) extents stay the FULL image
+    # width/height — a pixel's ray crosses the whole image regardless of
+    # which column chunk it lives in — so vregs and MXU tiles stay filled;
+    # only the matmul M extent (pixels) shrinks.
+    cw = col_chunk if 0 < col_chunk < w else w
+    n_chunk = w // cw
 
     left = -w / 2.0
     right = w - w / 2.0 - 1.0
     bottom = 1.0 - h / 2.0
     top = h / 2.0
 
-    cls_wf = jax.lax.broadcasted_iota(jnp.int32, (sub, w, w), 2).astype(jnp.float32)
-    cls_hf = jax.lax.broadcasted_iota(jnp.int32, (sub, w, h), 2).astype(jnp.float32)
+    cls_wf = jax.lax.broadcasted_iota(jnp.int32, (sub, cw, w), 2).astype(jnp.float32)
+    cls_hf = jax.lax.broadcasted_iota(jnp.int32, (sub, cw, h), 2).astype(jnp.float32)
     if step_pack == 2:
         # Packed-pair tap classes (loop-invariant): lanes [0, W) carry step
         # s0's x taps, [W, 2W) step s1's; the y classes repeat [0, H) four
         # times for the [b0 | m0 | b1 | m1] packed reduction layout.
-        ix2 = jax.lax.broadcasted_iota(jnp.int32, (sub, w, 2 * w), 2)
+        ix2 = jax.lax.broadcasted_iota(jnp.int32, (sub, cw, 2 * w), 2)
         seg_x2 = ix2 >= w
         cls_x2 = (ix2 - jnp.where(seg_x2, w, 0)).astype(jnp.float32)
-        iy4 = jax.lax.broadcasted_iota(jnp.int32, (sub, w, 4 * h), 2)
+        iy4 = jax.lax.broadcasted_iota(jnp.int32, (sub, cw, 4 * h), 2)
         seg_y4 = iy4 >= 2 * h
         cls_y4 = jnp.remainder(iy4, h).astype(jnp.float32)
         jsel = jax.lax.broadcasted_iota(jnp.int32, (4 * h, 1), 0)
@@ -198,7 +209,7 @@ def _march_kernel(
     ones_h = jnp.ones((h, 1), jnp.float32)
 
     def reduce_h(x3, w3, exact_products: bool):
-        """sum(x3 * w3, axis=-1): (SUB, W, H) -> (SUB, W).
+        """sum(x3 * w3, axis=-1): (SUB, CW, H) -> (SUB, CW).
 
         'mxu' mode: one elementwise pass + a ones-matvec on the MXU instead
         of ~8 cross-lane VPU passes. exact_products marks 1.0 x {0,1}
@@ -215,13 +226,13 @@ def _march_kernel(
 
         def matvec(a, mv_precision):
             out = jax.lax.dot_general(
-                a.reshape(sub * w, h),
+                a.reshape(sub * cw, h),
                 ones_h.astype(a.dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=mv_precision,
             )
-            return out.reshape(sub, w, 1)[:, :, 0]
+            return out.reshape(sub, cw, 1)[:, :, 0]
 
         if mode == "auto":
             if exact_products or precision == jax.lax.Precision.DEFAULT:
@@ -261,16 +272,21 @@ def _march_kernel(
     else:
         raise ValueError(cfg.shadow_bias_gate)
 
-    def slab_consts(k):
-        """Per-slab pixel coordinates, border endpoints and BC terms."""
+    def slab_consts(k, c=0):
+        """Per-(slab, column-chunk) pixel coordinates, endpoints, BC terms."""
         rows = (
-            jax.lax.broadcasted_iota(jnp.int32, (sub, w), 0).astype(jnp.float32)
+            jax.lax.broadcasted_iota(jnp.int32, (sub, cw), 0).astype(jnp.float32)
             + (row0 + k * sub).astype(jnp.float32)
         )
-        cols = jax.lax.broadcasted_iota(jnp.int32, (sub, w), 1).astype(jnp.float32)
+        cols = (
+            jax.lax.broadcasted_iota(jnp.int32, (sub, cw), 1).astype(jnp.float32)
+            + float(c * cw)
+        )
         xx = cols - w / 2.0
         yy = h / 2.0 - rows
-        depth_px = depth_tile_ref[0, k * sub : (k + 1) * sub, :]
+        depth_px = depth_tile_ref[
+            0, k * sub : (k + 1) * sub, c * cw : (c + 1) * cw
+        ]
 
         # Branchless border endpoints (reference 9-case analysis, :363-442).
         slopes = (ly - yy) / (lx - xx + _EPS)
@@ -316,7 +332,9 @@ def _march_kernel(
             ),
         }
         if refine:
-            consts["tmap"] = tmap_tile_ref[0, k * sub : (k + 1) * sub, :]
+            consts["tmap"] = tmap_tile_ref[
+                0, k * sub : (k + 1) * sub, c * cw : (c + 1) * cw
+            ]
         return consts
 
     def step_t(c, s):
@@ -351,7 +369,7 @@ def _march_kernel(
         # the default-precision kernel is bit-identical to the reference
         # under exact arithmetic, for a fraction-of-a-dB gain on a tier
         # already 10 dB above the parity bar.)
-        wx = hat(cls_wf, xtc).reshape(sub * w, w)
+        wx = hat(cls_wf, xtc).reshape(sub * cw, w)
 
         def indicator_rows(weights2d, exact: bool):
             """(P, W) weights @ indicator^T: indicator gathered per row."""
@@ -367,7 +385,7 @@ def _march_kernel(
                     if precision == "high"
                     else precision
                 ),
-            ).reshape(sub, w, h)
+            ).reshape(sub, cw, h)
 
         def onehot_x_rows():
             # Mask veto x-gather: one-hot at the banker's-rounded x
@@ -375,7 +393,7 @@ def _march_kernel(
             xr = jnp.clip(jnp.round(sx) + w / 2.0, 0, w - 1)
             ind_onehot = jnp.where(
                 cls_wf == xr[..., None], 1.0, 0.0
-            ).reshape(sub * w, w)
+            ).reshape(sub * cw, w)
             return indicator_rows(ind_onehot, exact=True)
 
         if mask_mode == "hat":
@@ -389,14 +407,14 @@ def _march_kernel(
             # including the systematic exact-half hits from integer
             # pixel-to-border spans, ~0.3% of pixels on random masks
             # (see RenderConfig.shadow_mask_gather).
-            bw = gather_dot(wx).reshape(sub, w, 2 * h)
+            bw = gather_dot(wx).reshape(sub, cw, 2 * h)
             b = bw[:, :, :h]
             d_interp = reduce_h(b, hat(cls_hf, ytc), exact_products=False)
             onehot_yr = jnp.where(cls_hf == yr[..., None], 1.0, 0.0)
             vsel = reduce_h(bw[:, :, h:], onehot_yr, exact_products=True)
             on_face = jnp.where(vsel > 0.5, 1.0, 0.0)
         elif mask_mode == "onehot":
-            b = gather_dot(wx).reshape(sub, w, h)
+            b = gather_dot(wx).reshape(sub, cw, h)
             d_interp = reduce_h(b, hat(cls_hf, ytc), exact_products=False)
             # Exact veto: one-hot gathers on BOTH axes (bit-matches the
             # reference's rounded-coordinate indicator lookup).
@@ -410,7 +428,7 @@ def _march_kernel(
             # per step than 'onehot'. Veto differs from the reference's
             # banker's-rounded row only within 1e-4 of half-integer sample
             # rows (same knife-edge class as 'hat').
-            b = gather_dot(wx).reshape(sub, w, h)
+            b = gather_dot(wx).reshape(sub, cw, h)
             mrows = onehot_x_rows()
             hat_y = hat(cls_hf, ytc)
             d_interp = reduce_h(b, hat_y, exact_products=False)
@@ -426,7 +444,7 @@ def _march_kernel(
             # than the rounded-corner lookup, the veto flips. Off-face
             # regions still veto exactly (all four taps 0), on-face
             # interiors never veto (all four taps 1).
-            b = gather_dot(wx).reshape(sub, w, h)
+            b = gather_dot(wx).reshape(sub, cw, h)
             mrows = indicator_rows(wx, exact=False)
             hat_y = hat(cls_hf, ytc)
             d_interp = reduce_h(b, hat_y, exact_products=False)
@@ -484,8 +502,8 @@ def _march_kernel(
         )
         hat_y4 = jnp.maximum(0.0, 1.0 - jnp.abs(cls_y4 - cy4))
         # [b0 | m0 | b1 | m1]: one fully-packed gather for both steps.
-        bw = gather_dot(wx2.reshape(sub * w, 2 * w)).reshape(sub, w, 4 * h)
-        prod = (bw * hat_y4).reshape(sub * w, 4 * h)
+        bw = gather_dot(wx2.reshape(sub * cw, 2 * w)).reshape(sub, cw, 4 * h)
+        prod = (bw * hat_y4).reshape(sub * cw, 4 * h)
 
         def matvec(sel):
             out = jax.lax.dot_general(
@@ -495,7 +513,7 @@ def _march_kernel(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT,
             )
-            return out.reshape(sub, w, 1)[:, :, 0]
+            return out.reshape(sub, cw, 1)[:, :, 0]
 
         reduced = [matvec(s) for s in sel_cols]
         outs = []
@@ -525,26 +543,34 @@ def _march_kernel(
 
     n_loop = ts_ref.shape[0] // step_pack
 
-    def slab_live(k):
-        """Scalar i32: does this slab's 8-row-aligned group have any face?
+    def unit_live(k, c):
+        """Scalar i32: any face in this (slab, column-chunk) cull unit?
 
         Group membership is computed from FIXED 8-row-aligned boundaries
-        (matching shadows.cull_live_rows), so the culled pixel set does not
-        depend on slab tiling; a 4-row slab reads its parent group's flags.
+        (matching shadows.cull_live_rows / cull_live_blocks), so the culled
+        pixel set does not depend on slab tiling; a 4-row slab reads its
+        parent group's flags. Row mode ORs per-row flags; column mode reads
+        per-(group, chunk) flags at [img, g * NC + c].
         """
         lo = (k * sub // 8) * 8
         hi = -((k * sub + sub) // -8) * 8
-        flag = rowany_ref[img, row0 + lo]
-        for i in range(lo + 1, hi):
-            flag = flag | rowany_ref[img, row0 + i]
+        if col_chunk == 0:
+            flag = rowany_ref[img, row0 + lo]
+            for i in range(lo + 1, hi):
+                flag = flag | rowany_ref[img, row0 + i]
+            return flag
+        g0 = (row0 + lo) // 8
+        flag = rowany_ref[img, g0 * n_chunk + c]
+        for gi in range(1, (hi - lo) // 8):
+            flag = flag | rowany_ref[img, (g0 + gi) * n_chunk + c]
         return flag
 
-    def store_slab(k, min_n2, s_star, denom, live=None):
+    def store_slab(k, c, min_n2, s_star, denom, live=None):
         min_d = jnp.sqrt(min_n2 + _EPS) / denom
         # Off-face sentinel: reproduce the exact 1e6 constant (:490).
         min_d = jnp.where(min_n2 >= _OFF_FACE_N2, _OFF_FACE, min_d)
         if live is not None:
-            # Culled slab: the all-vetoed sentinel, independent of whether
+            # Culled unit: the all-vetoed sentinel, independent of whether
             # the step loop was skipped (trip count 0) or ran (interleave
             # mode only forces outputs).
             min_d = jnp.where(live > 0, min_d, _OFF_FACE)
@@ -554,29 +580,36 @@ def _march_kernel(
             min_d = min_d + jnp.where(gate, cfg.shadow_bias, 0.0).astype(
                 min_d.dtype
             )
-        out_ref[0, k * sub : (k + 1) * sub, :] = min_d
+        out_ref[0, k * sub : (k + 1) * sub, c * cw : (c + 1) * cw] = min_d
         if tstar_ref is not None:
-            tstar_ref[0, k * sub : (k + 1) * sub, :] = s_star
+            tstar_ref[
+                0, k * sub : (k + 1) * sub, c * cw : (c + 1) * cw
+            ] = s_star
 
     # The argmin carry is the compact int32 SAMPLE INDEX, not the f32 t value
     # (the wrapper looks t up in the sample_ts table afterwards — exact, the
     # stored t is the identical f32 constant). The int chain (iota compare +
     # select) is also cheaper for Mosaic to schedule than carrying a second
     # f32 plane through the min loop.
-    init_min = jnp.full((sub, w), jnp.inf, jnp.float32)
-    init_t = jnp.zeros((sub, w), jnp.int32)
+    init_min = jnp.full((sub, cw), jnp.inf, jnp.float32)
+    init_t = jnp.zeros((sub, cw), jnp.int32)
 
-    if cfg.shadow_slab_interleave and n_sub > 1:
-        # All slabs advance inside ONE step loop: the per-slab dependency
+    # Processing units: (row slab, column chunk) pairs. Chunks march the
+    # same full-width tap space; only their pixel sets (matmul M extents)
+    # differ, so splitting is FLOP-neutral when every unit is live.
+    units = [(k, c) for k in range(n_sub) for c in range(n_chunk)]
+
+    if cfg.shadow_slab_interleave and len(units) > 1:
+        # All units advance inside ONE step loop: the per-unit dependency
         # chains (build -> matmul -> reduce -> chain) are independent, so
-        # Mosaic can overlap one slab's VPU builds with another's MXU work.
-        consts = [slab_consts(k) for k in range(n_sub)]
+        # Mosaic can overlap one unit's VPU builds with another's MXU work.
+        consts = [slab_consts(k, c) for k, c in units]
 
         def step_all(i, carry):
             out = []
-            for k in range(n_sub):
-                acc = carry[k]
-                for sidx, n2 in step_samples(consts[k], i):
+            for u in range(len(units)):
+                acc = carry[u]
+                for sidx, n2 in step_samples(consts[u], i):
                     if tstar_ref is None:
                         acc = jnp.minimum(acc, n2)
                     else:
@@ -588,26 +621,27 @@ def _march_kernel(
 
         init = tuple(
             init_min if tstar_ref is None else (init_min, init_t)
-            for _ in range(n_sub)
+            for _ in units
         )
         finals = jax.lax.fori_loop(0, n_loop, step_all, init,
                                    unroll=unroll)
-        for k in range(n_sub):
-            # Interleave mode shares one step loop across slabs, so culled
-            # slabs cannot skip it; only their outputs are forced.
-            live = slab_live(k) if cull else None
+        for u, (k, c) in enumerate(units):
+            # Interleave mode shares one step loop across units, so culled
+            # units cannot skip it; only their outputs are forced.
+            live = unit_live(k, c) if cull else None
             if tstar_ref is None:
-                store_slab(k, finals[k], None, consts[k]["denom"], live)
+                store_slab(k, c, finals[u], None, consts[u]["denom"], live)
             else:
                 store_slab(
-                    k, finals[k][0], finals[k][1], consts[k]["denom"], live
+                    k, c, finals[u][0], finals[u][1], consts[u]["denom"],
+                    live,
                 )
     else:
-        for k in range(n_sub):
-            c = slab_consts(k)
+        for k, c in units:
+            cst = slab_consts(k, c)
 
-            def step(i, carry, c=c):
-                for sidx, n2 in step_samples(c, i):
+            def step(i, carry, cst=cst):
+                for sidx, n2 in step_samples(cst, i):
                     if tstar_ref is None:
                         carry = jnp.minimum(carry, n2)
                     else:
@@ -620,32 +654,32 @@ def _march_kernel(
 
             init = init_min if tstar_ref is None else (init_min, init_t)
 
-            def run_and_store(k=k, c=c, step=step, init=init):
+            def run_and_store(k=k, c=c, cst=cst, step=step, init=init):
                 final = jax.lax.fori_loop(0, n_loop, step, init,
                                           unroll=unroll)
                 if tstar_ref is None:
-                    store_slab(k, final, None, c["denom"])
+                    store_slab(k, c, final, None, cst["denom"])
                 else:
-                    store_slab(k, final[0], final[1], c["denom"])
+                    store_slab(k, c, final[0], final[1], cst["denom"])
 
             if not cull:
                 run_and_store()
             else:
-                # Culled slab -> skip the whole step loop. The loop stays
+                # Culled unit -> skip the whole step loop. The loop stays
                 # STATIC inside a pl.when branch: a dynamic trip count was
                 # measured to defeat Mosaic's loop scheduling (draft-tier
                 # 128^2 march dropped 103 -> 80 img/s); branch + static
                 # loop keeps the uncull'd path's schedule.
-                live = slab_live(k)
+                live = unit_live(k, c)
                 pl.when(live > 0)(run_and_store)
 
-                def store_sentinel(k=k, c=c):
+                def store_sentinel(k=k, c=c, cst=cst):
                     # init carry (inf / index 0) -> store_slab's sentinel
                     # substitution emits the all-vetoed 1e6 (+ gate bias).
                     if tstar_ref is None:
-                        store_slab(k, init_min, None, c["denom"])
+                        store_slab(k, c, init_min, None, cst["denom"])
                     else:
-                        store_slab(k, init_min, init_t, c["denom"])
+                        store_slab(k, c, init_min, init_t, cst["denom"])
 
                 pl.when(live == 0)(store_sentinel)
 
@@ -871,6 +905,13 @@ def _march_pallas_call(
     light2d = jnp.concatenate([light2d, jnp.zeros((1, 3), jnp.float32)], axis=0)
 
     cull = bool(cfg.shadow_mask_cull)
+    # Effective column-chunk width: values >= W degrade to the row cull
+    # (one chunk per slab — the kernel's unit grid is then identical to the
+    # pre-column-cull one, e.g. the draft tier's 64-wide low-res march at
+    # the default chunk 64).
+    col_chunk = (
+        cfg.shadow_col_chunk if 0 < cfg.shadow_col_chunk < w else 0
+    )
     rowany_in = None
     if cull:
         if tile_rows % 8:
@@ -878,15 +919,30 @@ def _march_pallas_call(
                 "shadow_mask_cull needs 8-row-aligned tiles "
                 f"(tile_rows={tile_rows})"
             )
-        # Per-row any-face flags, 8-padded so the kernel's group reads stay
-        # in bounds; i32 scalars in SMEM (one OR-tree read per slab).
-        row_any = (mask != 0).any(axis=2)
         hpad = (-h) % 8
-        if hpad:
-            row_any = jnp.concatenate(
-                [row_any, jnp.zeros((b, hpad), row_any.dtype)], axis=1
+        if col_chunk:
+            # Per-(8-row-group, column-chunk) any-face flags, flat
+            # (B, G * NC) i32 in SMEM (one read per unit per parent group).
+            on = mask != 0
+            if hpad:
+                on = jnp.concatenate(
+                    [on, jnp.zeros((b, hpad, w), on.dtype)], axis=1
+                )
+            block_any = on.reshape(
+                b, -1, 8, w // col_chunk, col_chunk
+            ).any(axis=(2, 4))
+            rowany_in = pad_batch(
+                block_any.reshape(b, -1).astype(jnp.int32)
             )
-        rowany_in = pad_batch(row_any.astype(jnp.int32))
+        else:
+            # Per-row any-face flags, 8-padded so the kernel's group reads
+            # stay in bounds; i32 scalars in SMEM (one OR-tree per slab).
+            row_any = (mask != 0).any(axis=2)
+            if hpad:
+                row_any = jnp.concatenate(
+                    [row_any, jnp.zeros((b, hpad), row_any.dtype)], axis=1
+                )
+            rowany_in = pad_batch(row_any.astype(jnp.int32))
 
     precision = {
         "highest": jax.lax.Precision.HIGHEST,
@@ -943,6 +999,7 @@ def _march_pallas_call(
         cull=cull,
         refine_t_range=refine_t_range,
         step_pack=step_pack,
+        col_chunk=col_chunk,
     )
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)

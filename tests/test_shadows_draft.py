@@ -423,10 +423,18 @@ def test_pallas_kernel_runs_scaled_inputs():
 def test_golden_draft_psnr():
     """End-to-end draft-tier parity on the primary golden fixture. The
     shipping tier is scale 4 + halfwidth-4 boundary refine (promoted
-    2026-08-19): 47.6 dB raw / 53.7 dB visible here, >= 45.8 dB visible
-    on ALL four fixtures on chip at 231.5 img/s (docs/BENCH_draft4.json;
-    worst: target-path 00295 — up from 38.8 dB visible before the
-    refine existed)."""
+    2026-08-19): 53.7 dB face-visible here, >= 45.8 dB visible on ALL
+    bundled fixtures on chip (docs/BENCH_draft4.json; worst: target-path
+    00295 — up from 38.8 dB visible before the refine existed).
+
+    The gate is the FACE-VISIBLE PSNR (mask-weighted, the parity-matrix
+    metric): every reference entry point masks or pastes its outputs
+    (test_raytracing_...py:601-608; test_relight_single_image.py's
+    through-mask paste), and since round 5 the tiers' column-aware cull
+    (shadow_col_chunk) deliberately changes raw off-face renders near the
+    face margins — pixels whose real march distances are small there, so
+    culling flips them to lit. Raw PSNR is only reference-comparable with
+    the cull off (see tools/parity_matrix.py's strict_nocull rows)."""
     import os
 
     ckpt = "/root/reference/model_lighting_transfer/model_epoch106.pth"
@@ -445,9 +453,13 @@ def test_golden_draft_psnr():
         target_light=fx["target_light"], target_ambient=fx["target_ambient"],
     )
     want = np.moveaxis(fx["rendered"], 1, -1)
-    mse = float(np.mean((np.asarray(out.rendered, np.float32) - want) ** 2))
+    mask = fx["mask"]
+    sq = (np.asarray(out.rendered, np.float32) - want) ** 2
+    mse = float(
+        np.sum(sq * mask[None, :, :, None]) / (3.0 * max(np.sum(mask), 1.0))
+    )
     psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
-    assert psnr >= 45.0, f"draft-tier PSNR {psnr:.2f} dB"
+    assert psnr >= 45.0, f"draft-tier face-visible PSNR {psnr:.2f} dB"
 
 
 def test_relighter_accepts_sample_parallel_draft():
