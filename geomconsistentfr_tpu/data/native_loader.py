@@ -76,6 +76,12 @@ def _lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, u8p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.gcfr_encode_jpeg.restype = ctypes.c_ulong
+        lib.gcfr_encode_jpeg.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(u8p),
+        ]
+        lib.gcfr_free.argtypes = [u8p]
         _LIB_CACHE = lib
     return _LIB_CACHE
 
@@ -121,6 +127,35 @@ def decode_jpegs(
     if failures:
         raise ValueError(f"native JPEG batch decode: {failures} file(s) failed")
     return out[..., 0] if channels == 1 else out
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """Native in-memory JPEG encode of (H, W, 3) or (H, W) uint8.
+
+    Serving counterpart of decode_jpeg: the serve.py "format": "jpeg"
+    response path uses this because PNG deflate on the 1-CPU host was 75%
+    of serving wall time (docs/BENCH_serve.json round 4). Raises when the
+    library was built without libjpeg — callers fall back to imageio."""
+    img = np.ascontiguousarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError(f"encode_jpeg needs uint8, got {img.dtype}")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    lib = _lib()
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    size = lib.gcfr_encode_jpeg(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, c, int(quality), ctypes.byref(out),
+    )
+    if not size:
+        raise ValueError(
+            f"native JPEG encode failed (shape {img.shape}, q={quality})"
+        )
+    try:
+        return ctypes.string_at(out, size)
+    finally:
+        lib.gcfr_free(out)
 
 
 class NativeCelebAHQLoader:

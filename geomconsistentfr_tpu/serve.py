@@ -8,8 +8,12 @@ Relighter over HTTP for deployment behind a load balancer:
        "light": [lx, ly, lz] | "light_preset": "multipie_14",
        "ambient": 0.5, "precision": "draft" (optional per-request tier
        override — e.g. draft previews and high finals from one process;
-       requests coalesce per tier, each used tier compiles once)}
-    -> {"rendered": <base64 PNG>, "shadow_mask": <base64 PNG>}
+       requests coalesce per tier, each used tier compiles once),
+       "format": "jpeg" (optional response codec, default "png";
+       "quality": 90) — JPEG responses cut the dominant serving cost on a
+       small host (PNG deflate + base64 was 75% of wall, BENCH_serve.json)
+       via the native libjpeg encoder}
+    -> {"rendered": <base64 PNG|JPEG>, "shadow_mask": ..., "format": ...}
   POST /estimate   {"image": <base64 PNG>} -> {"direction": [...], "ambient": a}
   POST /transfer   2-pass lighting transfer (test_..._lighting_transfer.py):
       {"image": <base64 PNG>, "reference": <base64 PNG>, "mask": <base64 PNG>}
@@ -68,15 +72,42 @@ def _decode_image(b64: str, size: int = 256) -> np.ndarray:
     return raw
 
 
-def _encode_image(img: np.ndarray) -> str:
-    """Encode a uint8 (or float-in-[0,1]) image as base64 PNG."""
+def _encode_image(img: np.ndarray, fmt: str = "png", quality: int = 90) -> str:
+    """Encode a uint8 (or float-in-[0,1]) image as base64 PNG or JPEG.
+
+    PNG (lossless) is the default for parity; "format": "jpeg" per request
+    trades exactness for host time and payload: PNG deflate + base64 was
+    75% of serving wall time on the 1-CPU host (docs/BENCH_serve.json,
+    round 4), while the native libjpeg encoder (native/dataloader.cc
+    gcfr_encode_jpeg) measures ~1.7 ms vs ~51 ms per 256^2 frame with a
+    3-5x smaller payload over the tunnel."""
     import imageio.v2 as imageio
 
     if img.dtype != np.uint8:
         img = np.clip(np.asarray(img) * 255, 0, 255).astype(np.uint8)
+    if fmt == "jpeg":
+        try:
+            from geomconsistentfr_tpu.data.native_loader import encode_jpeg
+
+            return base64.b64encode(encode_jpeg(img, quality)).decode()
+        except Exception:  # noqa: BLE001 - no toolchain/libjpeg -> imageio
+            buf = io.BytesIO()
+            imageio.imwrite(buf, img, format="jpeg", quality=quality)
+            return base64.b64encode(buf.getvalue()).decode()
     buf = io.BytesIO()
     imageio.imwrite(buf, img, format="png")
     return base64.b64encode(buf.getvalue()).decode()
+
+
+def _parse_format(req: dict) -> tuple[str, int]:
+    """Validate optional "format" ('png' | 'jpeg') and "quality" (1-100)."""
+    fmt = req.get("format", "png")
+    if fmt not in ("png", "jpeg"):
+        raise ValueError(f"unknown format {fmt!r} (use 'png' or 'jpeg')")
+    quality = int(req.get("quality", 90))
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    return fmt, quality
 
 
 class WorkerDied(RuntimeError):
@@ -160,9 +191,19 @@ class MicroBatcher:
             "device_seconds": 0.0,
             "errors": 0,
             "per_tier": {},          # tier -> request count ('' = default)
+            "per_format": {},        # response format -> request count
         }
+        # per_format is written by HANDLER threads (format is a response-
+        # encoding concern, resolved after the device work), so unlike the
+        # worker-only counters it takes a lock.
+        self._fmt_lock = threading.Lock()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+
+    def note_format(self, fmt: str) -> None:
+        with self._fmt_lock:
+            pf = self.stats["per_format"]
+            pf[fmt] = pf.get(fmt, 0) + 1
 
     def _submit(self, kind: str, payload) -> Future:
         if not self._thread.is_alive():
@@ -376,6 +417,7 @@ def make_handler(relighter, batcher: MicroBatcher | None = None):
                     return
                 st = dict(batcher.stats)
                 st["per_tier"] = dict(st["per_tier"])
+                st["per_format"] = dict(st["per_format"])
                 st["batching"] = True
                 st["worker_alive"] = batcher._thread.is_alive()
                 st["queue_depth"] = batcher._queue.qsize()
@@ -413,7 +455,9 @@ def make_handler(relighter, batcher: MicroBatcher | None = None):
                     if not np.isfinite(ambient):
                         raise ValueError("'ambient' must be finite")
                     tier = _parse_tier(req)
+                    fmt, quality = _parse_format(req)
                     if batcher is not None:
+                        batcher.note_format(fmt)
                         rendered, weights = batcher.submit(
                             image, mask, light, ambient, tier=tier
                         )
@@ -435,8 +479,11 @@ def make_handler(relighter, batcher: MicroBatcher | None = None):
                     self._json(
                         200,
                         {
-                            "rendered": _encode_image(rendered),
-                            "shadow_mask": _encode_image(weights),
+                            "rendered": _encode_image(rendered, fmt, quality),
+                            "shadow_mask": _encode_image(
+                                weights, fmt, quality
+                            ),
+                            "format": fmt,
                         },
                     )
                 elif self.path == "/transfer":
@@ -449,7 +496,9 @@ def make_handler(relighter, batcher: MicroBatcher | None = None):
                     reference = _decode_image(req["reference"])
                     mask = _decode_image(req["mask"])[..., 0]
                     tier = _parse_tier(req)
+                    fmt, quality = _parse_format(req)
                     if batcher is not None:
+                        batcher.note_format(fmt)
                         unit, amb = batcher.submit_estimate(reference)
                         rendered, weights = batcher.submit(
                             image, mask,
@@ -477,8 +526,11 @@ def make_handler(relighter, batcher: MicroBatcher | None = None):
                     self._json(
                         200,
                         {
-                            "rendered": _encode_image(rendered),
-                            "shadow_mask": _encode_image(weights),
+                            "rendered": _encode_image(rendered, fmt, quality),
+                            "shadow_mask": _encode_image(
+                                weights, fmt, quality
+                            ),
+                            "format": fmt,
                             "direction": [float(v) for v in unit],
                             "ambient": float(amb),
                         },

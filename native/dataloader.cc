@@ -310,6 +310,7 @@ void gcfr_loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }
 
 #include <csetjmp>
 #include <cstdio>
+#include <cstdlib>
 
 #include <jpeglib.h>
 
@@ -367,11 +368,60 @@ int DecodeJpegFile(const char* path, uint8_t* out, int h, int w,
   return 0;
 }
 
+// Encode caller-owned HWC uint8 into an in-memory JPEG (jpeg_mem_dest).
+// The serving path uses this for its "format": "jpeg" responses: PNG
+// deflate + base64 on the 1-CPU host was 75% of serving wall time
+// (docs/BENCH_serve.json round 4); libjpeg at quality ~90 is ~5-10x
+// faster to encode and ~3-5x smaller over the tunnel. channels must be
+// 1 (grayscale) or 3 (RGB). *out is malloc'd by libjpeg and must be
+// released with gcfr_free().
+unsigned long EncodeJpegMem(const uint8_t* img, int h, int w, int channels,
+                            int quality, uint8_t** out) {
+  if (channels != 1 && channels != 3) return 0;
+  jpeg_compress_struct cinfo;
+  JpegErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = JpegErrorExit;
+  unsigned char* buf = nullptr;
+  unsigned long size = 0;
+  if (setjmp(err.jmp)) {
+    jpeg_destroy_compress(&cinfo);
+    if (buf) std::free(buf);
+    return 0;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &buf, &size);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = channels;
+  cinfo.in_color_space = channels == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  const size_t stride = size_t(w) * channels;
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<uint8_t*>(img) +
+                   size_t(cinfo.next_scanline) * stride;
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  *out = buf;
+  return size;
+}
+
 }  // namespace
 
 extern "C" {
 
 int gcfr_has_jpeg() { return 1; }
+
+unsigned long gcfr_encode_jpeg(const uint8_t* img, int h, int w,
+                               int channels, int quality, uint8_t** out) {
+  return EncodeJpegMem(img, h, w, channels, quality, out);
+}
+
+void gcfr_free(uint8_t* p) { std::free(p); }
 
 int gcfr_decode_jpeg(const char* path, uint8_t* out, int h, int w,
                      int channels) {
@@ -411,6 +461,11 @@ int gcfr_decode_jpeg(const char*, uint8_t*, int, int, int) { return -1; }
 int gcfr_decode_jpegs(const char**, int, uint8_t*, int, int, int, int) {
   return -1;
 }
+unsigned long gcfr_encode_jpeg(const uint8_t*, int, int, int, int,
+                               uint8_t**) {
+  return 0;
+}
+void gcfr_free(uint8_t*) {}
 }
 
 #endif  // GCFR_HAVE_JPEG

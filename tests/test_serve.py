@@ -865,3 +865,98 @@ def test_serving_soak_counters_and_rss():
         server.shutdown()
     finally:
         serve_mod._decode_image = orig
+
+
+def test_jpeg_response_format():
+    """Per-request "format": "jpeg" returns decodable JPEG payloads (PNG
+    stays the default), bad formats 400 cleanly, and the statz counter
+    tracks per-format requests. JPEG responses exist because PNG deflate +
+    base64 was 75% of serving wall on the 1-CPU host (BENCH_serve.json);
+    the encode rides native/dataloader.cc's libjpeg (gcfr_encode_jpeg)."""
+    import http.client
+
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.serve import MicroBatcher, make_handler
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=64, img_width=64,
+            num_sample_points=16, t_stop=0.105, march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    relighter = Relighter(cfg, variables)
+    batcher = MicroBatcher(relighter, max_batch=2, window_ms=1.0)
+
+    import geomconsistentfr_tpu.serve as serve_mod
+
+    orig = serve_mod._decode_image
+    serve_mod._decode_image = lambda b64, size=64: orig(b64, size=64)
+    try:
+        server = HTTPServer(
+            ("127.0.0.1", 0), make_handler(relighter, batcher)
+        )
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+
+        rng = np.random.default_rng(1)
+        body = {
+            "image": _png_b64(rng.uniform(size=(64, 64, 3))),
+            "mask": _png_b64(np.ones((64, 64, 3))),
+            "light_preset": "multipie_14",
+        }
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+
+        # Default: PNG magic bytes.
+        conn.request("POST", "/relight", json.dumps(body))
+        png = json.loads(conn.getresponse().read())
+        assert png["format"] == "png"
+        assert base64.b64decode(png["rendered"])[:8] == b"\x89PNG\r\n\x1a\n"
+
+        # JPEG: SOI marker, decodable, pixel-close to the PNG response.
+        conn.request(
+            "POST", "/relight",
+            json.dumps({**body, "format": "jpeg", "quality": 92}),
+        )
+        jp = json.loads(conn.getresponse().read())
+        assert jp["format"] == "jpeg"
+        raw = base64.b64decode(jp["rendered"])
+        assert raw[:2] == b"\xff\xd8"
+        import imageio.v2 as imageio
+
+        img_j = np.asarray(imageio.imread(io.BytesIO(raw)))
+        img_p = np.asarray(
+            imageio.imread(io.BytesIO(base64.b64decode(png["rendered"])))
+        )
+        assert img_j.shape == img_p.shape
+        assert np.abs(
+            img_j.astype(np.int16) - img_p.astype(np.int16)
+        ).mean() < 8.0
+        # Grayscale shadow mask also decodes.
+        raw_m = base64.b64decode(jp["shadow_mask"])
+        assert raw_m[:2] == b"\xff\xd8"
+        assert imageio.imread(io.BytesIO(raw_m)).ndim == 2
+
+        # Unknown format -> its caller's 400, nobody else's.
+        conn.request(
+            "POST", "/relight", json.dumps({**body, "format": "webp"})
+        )
+        assert conn.getresponse().status == 400
+        conn.request(
+            "POST", "/relight",
+            json.dumps({**body, "format": "jpeg", "quality": 0}),
+        )
+        assert conn.getresponse().status == 400
+
+        conn.request("GET", "/statz")
+        st = json.loads(conn.getresponse().read())
+        assert st["per_format"] == {"png": 1, "jpeg": 1}
+        server.shutdown()
+    finally:
+        serve_mod._decode_image = orig

@@ -45,6 +45,10 @@ def main() -> None:
     ap.add_argument("--concurrency", type=int, default=8)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--window-ms", type=float, default=4.0)
+    ap.add_argument("--format", default="png", choices=["png", "jpeg"],
+                    help="response codec requested by the storm (jpeg cuts "
+                    "the dominant host PNG-deflate cost; BENCH_serve.json)")
+    ap.add_argument("--quality", type=int, default=90)
     args = ap.parse_args()
 
     import jax
@@ -105,6 +109,9 @@ def main() -> None:
         for k in range(args.requests // args.concurrency):
             body = {"image": img, "mask": mask,
                     "light_preset": "multipie_14"}
+            if args.format != "png":
+                body["format"] = args.format
+                body["quality"] = args.quality
             tier = tiers[(worker_id + k) % len(tiers)] if tiers else ""
             if tier:
                 body["precision"] = tier
@@ -152,6 +159,7 @@ def main() -> None:
         "errors": len(errors),
         "concurrency": args.concurrency,
         "max_batch": args.max_batch,
+        "format": args.format,
         "throughput_rps": round(len(lats) / wall, 2),
         "latency_ms": {"p50": pct(lats, 50), "p90": pct(lats, 90),
                        "p99": pct(lats, 99)},
