@@ -148,14 +148,18 @@ class CelebAHQRelightingData:
         """
         return {k: np.asarray(self._maps[k][indices]) for k in FIELDS}
 
+    def sample_indices(self, rng: np.random.Generator, batch_size: int):
+        """One batch's indices; consumes the rng exactly like sample_batch
+        (so index-level consumers — the device-resident trainer path —
+        replay the identical stream)."""
+        return np.sort(rng.integers(0, self.num_samples, size=batch_size))
+
     def sample_batch(self, rng: np.random.Generator, batch_size: int):
-        idx = rng.integers(0, self.num_samples, size=batch_size)
-        return self.get_batch(np.sort(idx))
+        return self.get_batch(self.sample_indices(rng, batch_size))
 
     def sample_batch_raw(self, rng: np.random.Generator, batch_size: int):
         """Raw-dtype twin of sample_batch (identical index stream per rng)."""
-        idx = rng.integers(0, self.num_samples, size=batch_size)
-        return self.get_batch_raw(np.sort(idx))
+        return self.get_batch_raw(self.sample_indices(rng, batch_size))
 
     def epoch_batch_indices(
         self, rng: np.random.Generator, batch_size: int, batches_per_epoch: int
@@ -219,6 +223,9 @@ class SyntheticFaceData:
             for k in FIELDS
         }
 
+    def sample_indices(self, rng: np.random.Generator, batch_size: int):
+        """One batch's indices (same rng consumption as sample_batch)."""
+        return rng.integers(0, self.num_samples, size=batch_size)
+
     def sample_batch(self, rng: np.random.Generator, batch_size: int):
-        idx = rng.integers(0, self.num_samples, size=batch_size)
-        return self.get_batch(idx)
+        return self.get_batch(self.sample_indices(rng, batch_size))

@@ -123,6 +123,59 @@ def decode_batch(batch: Dict[str, Array]) -> Dict[str, Array]:
 # Standalone (eager/device) form, for callers outside a jit.
 _decode_device_batch = jax.jit(decode_batch)
 
+# "not decided yet" sentinel for Trainer's lazy residency cache (None is a
+# valid cached decision: it means "stream").
+_UNSET = object()
+
+
+class DeviceResidentBatches:
+    """Whole training set resident on device; batches are on-device gathers.
+
+    The streaming path uploads one packed batch per step. On this machine's
+    remote-TPU (axon) PJRT plugin every device_put leaks its host staging
+    buffer — measured 5.25 MB/step for the f32 synthetic stream and 1.96 for
+    raw-u8, flat at zero with no per-step upload (tools/leak_probe.py;
+    docs/HOST_LEAK_probe.md) — so a protocol-shape training run
+    (700 batches/epoch, reference train_raytracing_...py:579-580) grows
+    host RSS without bound. Residency uploads the provider's STORED bytes
+    once (uint8 where the cache stores uint8) and per step transfers only
+    the int32 batch indices (12 B at batch 3); the u8->f32 decode runs on
+    device (decode_batch), so batch VALUES are bit-identical to streaming.
+
+    Single-device meshes only (the DP/grid paths shard batches per process
+    and keep the packed streaming upload, which real pods move over NICs,
+    not this tunnel).
+    """
+
+    def __init__(self, dataset: Dict[str, Array]):
+        self._dataset = dataset
+        self._gather = jax.jit(
+            lambda ds, idx: decode_batch({k: v[idx] for k, v in ds.items()})
+        )
+
+    @staticmethod
+    def build(data, budget_mb: int) -> Optional["DeviceResidentBatches"]:
+        """Upload `data`'s full sample store, or None when it cannot fit /
+        the provider has no whole-set access."""
+        get = getattr(data, "get_batch_raw", None) or getattr(
+            data, "get_batch", None
+        )
+        n = getattr(data, "num_samples", None)
+        if get is None or n is None:
+            return None
+        probe = get(np.arange(min(int(n), 1)))
+        per_sample = sum(v.nbytes for v in probe.values())
+        if per_sample * int(n) > budget_mb * (1 << 20):
+            return None
+        host = get(np.arange(int(n)))
+        from geomconsistentfr_tpu.utils.transfer import pack_device_put
+
+        return DeviceResidentBatches(pack_device_put(host))
+
+    def get(self, indices: np.ndarray) -> Dict[str, Array]:
+        idx = jnp.asarray(np.ascontiguousarray(indices, np.int32))
+        return self._gather(self._dataset, idx)
+
 
 def _train_step(
     state: TrainState,
@@ -386,6 +439,30 @@ class Trainer:
         else:
             self.step_fn = make_single_device_step(self.cfg)
         self.metrics_log: list = []
+        self._resident_cache: Any = _UNSET
+
+    def _resident(self) -> Optional[DeviceResidentBatches]:
+        """Lazily build the device-resident batch source (or None).
+
+        'stream' and multi-device meshes keep the packed streaming upload;
+        'device' demands residency and fails loudly when the provider has
+        no whole-set access or exceeds the budget; 'auto' falls back to
+        streaming silently."""
+        tcfg = self.cfg.train
+        if tcfg.data_residency == "stream" or self.mesh.devices.size > 1:
+            return None
+        if self._resident_cache is _UNSET:
+            built = DeviceResidentBatches.build(
+                self.data, tcfg.device_data_budget_mb
+            )
+            if built is None and tcfg.data_residency == "device":
+                raise ValueError(
+                    "data_residency='device' but the provider has no "
+                    "whole-set access or exceeds device_data_budget_mb="
+                    f"{tcfg.device_data_budget_mb}"
+                )
+            self._resident_cache = built
+        return self._resident_cache
 
     def init_or_resume(self, rng: Optional[jax.Array] = None) -> TrainState:
         from geomconsistentfr_tpu.utils import checkpoint as ckpt
@@ -502,18 +579,41 @@ class Trainer:
         get_batch = getattr(self.data, "get_batch_raw", None) or getattr(
             self.data, "get_batch", None
         )
-        sample_batch = getattr(
-            self.data, "sample_batch_raw", self.data.sample_batch
-        )
         if hasattr(self.data, "epoch_batch_indices"):
             index_iter = self.data.epoch_batch_indices(
                 rng, tcfg.batch_size, tcfg.batches_per_epoch
             )
+        elif hasattr(self.data, "sample_indices") and get_batch is not None:
+            # i.i.d. sampling at the INDEX level: sample_indices consumes
+            # the rng exactly like sample_batch, so this stream is
+            # identical to the legacy batch-level draw.
+            index_iter = (
+                self.data.sample_indices(rng, tcfg.batch_size)
+                for _ in range(tcfg.batches_per_epoch)
+            )
+        else:
+            index_iter = None
+        if index_iter is not None:
             # Fast-forward within the epoch at the index level (no IO).
             if start_batch:
                 index_iter = itertools.islice(index_iter, start_batch, None)
-            batches = (get_batch(idx) for idx in index_iter)
+            resident = self._resident()
+            if resident is not None:
+                # Device-resident gathers: no per-step payload upload (see
+                # DeviceResidentBatches). Dispatch is async, so gathers run
+                # ahead of the consuming step like the prefetch queue does.
+                batches = map(resident.get, index_iter)
+            else:
+                # Async device prefetch: start batch k+1's host->device
+                # transfer while step k executes (device_put returns
+                # immediately).
+                batches = self._device_prefetch(
+                    get_batch(idx) for idx in index_iter
+                )
         else:
+            sample_batch = getattr(
+                self.data, "sample_batch_raw", self.data.sample_batch
+            )
             batches = (
                 sample_batch(rng, tcfg.batch_size)
                 for _ in range(tcfg.batches_per_epoch)
@@ -522,9 +622,7 @@ class Trainer:
             # keeps the resumed stream identical to the uninterrupted one.
             if start_batch:
                 batches = itertools.islice(batches, start_batch, None)
-        # Async device prefetch: start batch k+1's host->device transfer while
-        # step k executes (device_put returns immediately).
-        batches = self._device_prefetch(batches)
+            batches = self._device_prefetch(batches)
 
         # Metrics are collected asynchronously: a blocking per-step fetch
         # costs a ~0.3 s tunnel round trip — more than the step itself.

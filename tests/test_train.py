@@ -483,3 +483,75 @@ def test_cli_train_precision_flag(tmp_path):
 
     with _pytest.raises(SystemExit):
         cli.main(["train", "--precision", "draft", "--out", str(out)])
+
+
+def test_device_resident_matches_streaming(tmp_path):
+    """data_residency='device' (whole set on device + index gathers) must
+    reproduce the streaming path's metrics exactly: same (seed, epoch)
+    index stream, same stored bytes, same on-device decode. Residency is
+    the default on single-device meshes because this machine's remote-TPU
+    plugin leaks every device_put's staging buffer (docs/HOST_LEAK_probe.md)
+    — but the equivalence is what makes that swap safe."""
+    from geomconsistentfr_tpu.data import SyntheticFaceData
+    from geomconsistentfr_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_cfg(batch=2)
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, batches_per_epoch=3, checkpoint_every_steps=0,
+        ),
+    )
+    data = SyntheticFaceData(num_samples=8, size=32)
+    mesh = make_mesh(jax.devices()[:1])
+
+    def run(residency):
+        c = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, data_residency=residency)
+        )
+        tr = train_mod.Trainer(
+            c, data=data, workdir=str(tmp_path / residency), mesh=mesh
+        )
+        state = tr.init_or_resume()
+        state, m = tr.run_epoch(state, 0)
+        return tr, m
+
+    tr_dev, m_dev = run("device")
+    tr_str, m_str = run("stream")
+    assert tr_dev._resident() is not None
+    assert tr_str._resident() is None
+    for k in m_dev:
+        if k == "seconds":
+            continue
+        assert np.isclose(m_dev[k], m_str[k], atol=0), (k, m_dev[k], m_str[k])
+
+
+def test_device_resident_budget_fallback(tmp_path):
+    """'auto' silently streams when the set exceeds the budget; explicit
+    'device' fails loudly instead."""
+    from geomconsistentfr_tpu.data import SyntheticFaceData
+    from geomconsistentfr_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_cfg(batch=2)
+    data = SyntheticFaceData(num_samples=8, size=32)
+    mesh = make_mesh(jax.devices()[:1])
+
+    tiny_budget = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, data_residency="auto", device_data_budget_mb=0
+        )
+    )
+    tr = train_mod.Trainer(
+        tiny_budget, data=data, workdir=str(tmp_path / "auto"), mesh=mesh
+    )
+    assert tr._resident() is None
+
+    forced = dataclasses.replace(
+        tiny_budget,
+        train=dataclasses.replace(tiny_budget.train, data_residency="device"),
+    )
+    tr2 = train_mod.Trainer(
+        forced, data=data, workdir=str(tmp_path / "forced"), mesh=mesh
+    )
+    with pytest.raises(ValueError, match="device_data_budget_mb"):
+        tr2._resident()
