@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import functools
 import os
+import types
 
 import numpy as np
 
@@ -181,23 +182,8 @@ def _march_kernel(
     bottom = 1.0 - h / 2.0
     top = h / 2.0
 
-    cls_wf = jax.lax.broadcasted_iota(jnp.int32, (sub, cw, w), 2).astype(jnp.float32)
-    cls_hf = jax.lax.broadcasted_iota(jnp.int32, (sub, cw, h), 2).astype(jnp.float32)
-    if step_pack == 2:
-        # Packed-pair tap classes (loop-invariant): lanes [0, W) carry step
-        # s0's x taps, [W, 2W) step s1's; the y classes repeat [0, H) four
-        # times for the [b0 | m0 | b1 | m1] packed reduction layout.
-        ix2 = jax.lax.broadcasted_iota(jnp.int32, (sub, cw, 2 * w), 2)
-        seg_x2 = ix2 >= w
-        cls_x2 = (ix2 - jnp.where(seg_x2, w, 0)).astype(jnp.float32)
-        iy4 = jax.lax.broadcasted_iota(jnp.int32, (sub, cw, 4 * h), 2)
-        seg_y4 = iy4 >= 2 * h
-        cls_y4 = jnp.remainder(iy4, h).astype(jnp.float32)
-        jsel = jax.lax.broadcasted_iota(jnp.int32, (4 * h, 1), 0)
-        sel_cols = [
-            ((jsel >= k * h) & (jsel < (k + 1) * h)).astype(jnp.float32)
-            for k in range(4)
-        ]
+
+
 
     def hat(cls, coord):
         # max(0, 1 - |cls - coord|): the bilinear tap weights in one closed
@@ -207,57 +193,6 @@ def _march_kernel(
         return jnp.maximum(0.0, 1.0 - jnp.abs(cls - coord[..., None]))
 
     ones_h = jnp.ones((h, 1), jnp.float32)
-
-    def reduce_h(x3, w3, exact_products: bool):
-        """sum(x3 * w3, axis=-1): (SUB, CW, H) -> (SUB, CW).
-
-        'mxu' mode: one elementwise pass + a ones-matvec on the MXU instead
-        of ~8 cross-lane VPU passes. exact_products marks 1.0 x {0,1}
-        selections that are exact at any matmul precision. 'auto' (measured
-        on v5e): MXU for exact products and for fast (bf16) mode; for 'high'
-        a bf16x2 SPLIT matvec (prod = hi + lo, two DEFAULT passes — the MXU
-        accumulates f32, so the result tracks the f32 sum to ~2^-17 relative,
-        inside the tier's error budget) replaces the ~7-pass cross-lane sum;
-        VPU only for strict f32 values — a HIGHEST-precision matvec costs
-        more than the cross-lane sum it replaces.
-        """
-        mode = cfg.shadow_reduce
-        prod = x3 * w3
-
-        def matvec(a, mv_precision):
-            out = jax.lax.dot_general(
-                a.reshape(sub * cw, h),
-                ones_h.astype(a.dtype),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=mv_precision,
-            )
-            return out.reshape(sub, cw, 1)[:, :, 0]
-
-        if mode == "auto":
-            if exact_products or precision == jax.lax.Precision.DEFAULT:
-                use = "mxu"
-            elif precision == "high":
-                use = "mxu_split"
-            else:
-                use = "vpu"
-        else:
-            use = mode
-        if use == "vpu":
-            return jnp.sum(prod, axis=2)
-        if use == "mxu_split":
-            hi_f32 = prod.astype(jnp.bfloat16).astype(jnp.float32)
-            hi = hi_f32.astype(jnp.bfloat16)
-            lo = (prod - hi_f32).astype(jnp.bfloat16)
-            d = jax.lax.Precision.DEFAULT
-            return matvec(hi, d) + matvec(lo, d)
-        red_precision = (
-            jax.lax.Precision.HIGHEST if precision == "high" else precision
-        )
-        return matvec(
-            prod,
-            jax.lax.Precision.DEFAULT if exact_products else red_precision,
-        )
 
     if cfg.shadow_bias_gate == "inside_image":
         lo_x, hi_x = -cfg.half_w, cfg.img_width - cfg.half_w - 1.0
@@ -271,275 +206,6 @@ def _march_kernel(
         gate = None
     else:
         raise ValueError(cfg.shadow_bias_gate)
-
-    def slab_consts(k, c=0):
-        """Per-(slab, column-chunk) pixel coordinates, endpoints, BC terms."""
-        rows = (
-            jax.lax.broadcasted_iota(jnp.int32, (sub, cw), 0).astype(jnp.float32)
-            + (row0 + k * sub).astype(jnp.float32)
-        )
-        cols = (
-            jax.lax.broadcasted_iota(jnp.int32, (sub, cw), 1).astype(jnp.float32)
-            + float(c * cw)
-        )
-        xx = cols - w / 2.0
-        yy = h / 2.0 - rows
-        depth_px = depth_tile_ref[
-            0, k * sub : (k + 1) * sub, c * cw : (c + 1) * cw
-        ]
-
-        # Branchless border endpoints (reference 9-case analysis, :363-442).
-        slopes = (ly - yy) / (lx - xx + _EPS)
-        intercepts = ly - slopes * lx
-        zx_neg = lx < left
-        zx_pos = lx > right
-        zx_mid = jnp.logical_not(jnp.logical_or(zx_neg, zx_pos))
-        zy_neg = ly < bottom
-        zy_pos = ly > top
-        zy_mid = jnp.logical_not(jnp.logical_or(zy_neg, zy_pos))
-
-        xv = jnp.where(zx_neg, left, right)
-        ex_v = jnp.broadcast_to(xv, xx.shape)
-        ey_v = slopes * xv + intercepts
-        yh = jnp.where(zy_neg, bottom, top)
-        ex_h = (yh - intercepts) / (slopes + _EPS)
-        ey_h = jnp.broadcast_to(yh, yy.shape)
-        inter = jnp.logical_and(ex_h >= left, ex_h <= right)
-        ex_c = jnp.where(inter, ex_h, ex_v)
-        ey_c = jnp.where(inter, ey_h, ey_v)
-        inside = jnp.logical_and(zx_mid, zy_mid)
-        ex = jnp.where(
-            inside, lx, jnp.where(zy_mid, ex_v, jnp.where(zx_mid, ex_h, ex_c))
-        )
-        ey = jnp.where(
-            inside, ly, jnp.where(zy_mid, ey_v, jnp.where(zx_mid, ey_h, ey_c))
-        )
-        ex = jnp.clip(ex, left, right)
-        ey = jnp.clip(ey, bottom, top)
-
-        bc_z = lz - depth_px
-        consts = {
-            "xx": xx,
-            "yy": yy,
-            "depth_px": depth_px,
-            "diff_x": ex - xx,
-            "diff_y": ey - yy,
-            "bc_x": lx - xx,
-            "bc_y": ly - yy,
-            "bc_z": bc_z,
-            "denom": jnp.sqrt(
-                (lx - xx) ** 2 + (ly - yy) ** 2 + bc_z * bc_z + _EPS
-            ),
-        }
-        if refine:
-            consts["tmap"] = tmap_tile_ref[
-                0, k * sub : (k + 1) * sub, c * cw : (c + 1) * cw
-            ]
-        return consts
-
-    def step_t(c, s):
-        """Step s's parametric offset: scalar (march) or per-pixel (refine)."""
-        t = ts_ref[s, 0]
-        if refine:
-            t = jnp.clip(c["tmap"] + t, refine_t_range[0], refine_t_range[1])
-        return t
-
-    def sample_n2(c, t):
-        """Cross-product norm^2 of one march sample for one slab."""
-        xx, yy = c["xx"], c["yy"]
-        sx = xx + t * c["diff_x"]
-        sy = yy + t * c["diff_y"]
-
-        # Rounded row index for the mask veto (:449-454).
-        yr = jnp.clip(h / 2.0 - jnp.round(sy), 0, h - 1)
-
-        # Bilinear coordinates, -1e-4 shifted (:457-471).
-        xt = sx + w / 2.0 - _EPS
-        yt = (h / 2.0 - sy) - _EPS
-        xtc = jnp.clip(xt, 0.0, w - 1.0)
-        ytc = jnp.clip(yt, 0.0, h - 1.0)
-
-        # Hat x-weights -> MXU: B[p, r] = x-interpolated depth at row r.
-        # (y-weights are built AFTER the gather matmuls, at their use sites:
-        # hoisting the 2 MB hat_y across a matmul extends its VMEM live
-        # range enough to tip the strict mode over the VMEM budget.)
-        # (Idea measured and REJECTED: quantizing xtc to 1/256 px makes the
-        # hat weights exactly bf16-representable — no operand rounding in
-        # the fast matmul — but breaks the interpret-mode invariant that
-        # the default-precision kernel is bit-identical to the reference
-        # under exact arithmetic, for a fraction-of-a-dB gain on a tier
-        # already 10 dB above the parity bar.)
-        wx = hat(cls_wf, xtc).reshape(sub * cw, w)
-
-        def indicator_rows(weights2d, exact: bool):
-            """(P, W) weights @ indicator^T: indicator gathered per row."""
-            return jax.lax.dot_general(
-                weights2d,
-                indicator_t,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                # 1.0 x {0,1} one-hot products are exact at any precision;
-                # hat-weighted gathers follow the kernel's precision mode.
-                precision=jax.lax.Precision.DEFAULT if exact else (
-                    jax.lax.Precision.HIGHEST
-                    if precision == "high"
-                    else precision
-                ),
-            ).reshape(sub, cw, h)
-
-        def onehot_x_rows():
-            # Mask veto x-gather: one-hot at the banker's-rounded x
-            # (:449-454), exact at any matmul precision.
-            xr = jnp.clip(jnp.round(sx) + w / 2.0, 0, w - 1)
-            ind_onehot = jnp.where(
-                cls_wf == xr[..., None], 1.0, 0.0
-            ).reshape(sub * cw, w)
-            return indicator_rows(ind_onehot, exact=True)
-
-        if mask_mode == "hat":
-            # One widened matmul gathers depth AND the hat-interpolated
-            # indicator; thresholding the indicator at 0.5 selects the
-            # nearest tap's value (the taps are {0,1} and the two hat
-            # weights sum to 1). The depth interp is bit-identical to
-            # onehot mode (same shifted weights); the veto differs from
-            # the reference's banker's-rounded gather only at samples
-            # whose position lands within 1e-4 of a half-integer —
-            # including the systematic exact-half hits from integer
-            # pixel-to-border spans, ~0.3% of pixels on random masks
-            # (see RenderConfig.shadow_mask_gather).
-            bw = gather_dot(wx).reshape(sub, cw, 2 * h)
-            b = bw[:, :, :h]
-            d_interp = reduce_h(b, hat(cls_hf, ytc), exact_products=False)
-            onehot_yr = jnp.where(cls_hf == yr[..., None], 1.0, 0.0)
-            vsel = reduce_h(bw[:, :, h:], onehot_yr, exact_products=True)
-            on_face = jnp.where(vsel > 0.5, 1.0, 0.0)
-        elif mask_mode == "onehot":
-            b = gather_dot(wx).reshape(sub, cw, h)
-            d_interp = reduce_h(b, hat(cls_hf, ytc), exact_products=False)
-            # Exact veto: one-hot gathers on BOTH axes (bit-matches the
-            # reference's rounded-coordinate indicator lookup).
-            onehot_yr = jnp.where(cls_hf == yr[..., None], 1.0, 0.0)
-            on_face = reduce_h(onehot_x_rows(), onehot_yr, exact_products=True)
-        elif mask_mode == "hat_y":
-            # Exact one-hot x gather; the y tap is selected by REUSING the
-            # depth lookup's hat_y weights (two taps summing to 1 -> the
-            # >0.5 threshold picks the nearest row of the -1e-4-shifted
-            # coordinate). Drops the onehot_y build: 2 fewer VPU passes
-            # per step than 'onehot'. Veto differs from the reference's
-            # banker's-rounded row only within 1e-4 of half-integer sample
-            # rows (same knife-edge class as 'hat').
-            b = gather_dot(wx).reshape(sub, cw, h)
-            mrows = onehot_x_rows()
-            hat_y = hat(cls_hf, ytc)
-            d_interp = reduce_h(b, hat_y, exact_products=False)
-            vsel = reduce_h(mrows, hat_y, exact_products=True)
-            on_face = jnp.where(vsel > 0.5, 1.0, 0.0)
-        elif mask_mode == "bilinear":
-            # Fast-mode approximation: veto = thresholded BILINEAR interp
-            # of the indicator at the shifted sample position, reusing BOTH
-            # hat builds (4 fewer VPU passes per step than 'onehot'; one
-            # extra hat-weighted MXU matmul). Unlike the other modes this
-            # is not a nearest-corner gather: within the ~half-pixel band
-            # where bilinear(indicator) crosses 0.5 on a different side
-            # than the rounded-corner lookup, the veto flips. Off-face
-            # regions still veto exactly (all four taps 0), on-face
-            # interiors never veto (all four taps 1).
-            b = gather_dot(wx).reshape(sub, cw, h)
-            mrows = indicator_rows(wx, exact=False)
-            hat_y = hat(cls_hf, ytc)
-            d_interp = reduce_h(b, hat_y, exact_products=False)
-            vsel = reduce_h(mrows, hat_y, exact_products=True)
-            on_face = jnp.where(vsel > 0.5, 1.0, 0.0)
-        else:
-            raise ValueError(f"unknown mask_mode: {mask_mode}")
-
-        # 3D point-to-line distance (:478-487); sample xy keeps the
-        # shift. The per-pixel denominator is constant across steps and
-        # sqrt is monotone, so the loop carries the raw cross-product
-        # norm^2 and the final sqrt(.+eps)/denom happens once outside —
-        # identical values, two fewer VPU passes per step.
-        ba_x = (xt - w / 2.0) - xx
-        ba_y = (h / 2.0 - yt) - yy
-        ba_z = d_interp - c["depth_px"]
-        cx = ba_y * c["bc_z"] - ba_z * c["bc_y"]
-        cy = ba_z * c["bc_x"] - ba_x * c["bc_z"]
-        cz = ba_x * c["bc_y"] - ba_y * c["bc_x"]
-        n2 = cx * cx + cy * cy + cz * cz
-        return jnp.where(on_face == 0.0, _OFF_FACE_N2, n2)
-
-    def sample_pair_n2(c, t0, t1):
-        """Two march samples with lane-packed builds and ONE gather matmul.
-
-        Draft-tier turbo (shadow_step_pack=2): at the 64^2 low-res march
-        every (SUB, W, W)/(SUB, W, H) tap array half-fills its (8, 128)
-        vregs and MXU tiles. Packing both steps' x taps into one
-        (SUB, W, 2W) hat build, both steps' y taps into one (SUB, W, 4H)
-        build and gathering depth AND indicator for BOTH steps through one
-        block-diagonal (2W, 4H) matmul fills them. The extra contraction
-        terms are exact zeros (a step's tap lanes only meet its own
-        operand rows; hat weights vanish outside [coord-1, coord+1]); the
-        only numeric difference from two sample_n2 calls is f32 summation
-        ORDER inside the longer dots (measured <= 6e-6 absolute in
-        interpret mode, no sentinel/argmin disagreements —
-        tests/test_shadows_pack.py).
-        """
-        xx, yy = c["xx"], c["yy"]
-        per_step = []
-        for t in (t0, t1):
-            sx = xx + t * c["diff_x"]
-            sy = yy + t * c["diff_y"]
-            xt = sx + w / 2.0 - _EPS
-            yt = (h / 2.0 - sy) - _EPS
-            per_step.append(
-                (xt, yt, jnp.clip(xt, 0.0, w - 1.0), jnp.clip(yt, 0.0, h - 1.0))
-            )
-        cx2 = jnp.where(
-            seg_x2, per_step[1][2][..., None], per_step[0][2][..., None]
-        )
-        wx2 = jnp.maximum(0.0, 1.0 - jnp.abs(cls_x2 - cx2))
-        cy4 = jnp.where(
-            seg_y4, per_step[1][3][..., None], per_step[0][3][..., None]
-        )
-        hat_y4 = jnp.maximum(0.0, 1.0 - jnp.abs(cls_y4 - cy4))
-        # [b0 | m0 | b1 | m1]: one fully-packed gather for both steps.
-        bw = gather_dot(wx2.reshape(sub * cw, 2 * w)).reshape(sub, cw, 4 * h)
-        prod = (bw * hat_y4).reshape(sub * cw, 4 * h)
-
-        def matvec(sel):
-            out = jax.lax.dot_general(
-                prod,
-                sel,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )
-            return out.reshape(sub, cw, 1)[:, :, 0]
-
-        reduced = [matvec(s) for s in sel_cols]
-        outs = []
-        for k, (xt, yt, _xtc, _ytc) in enumerate(per_step):
-            d_interp = reduced[2 * k]
-            on_face = jnp.where(reduced[2 * k + 1] > 0.5, 1.0, 0.0)
-            ba_x = (xt - w / 2.0) - xx
-            ba_y = (h / 2.0 - yt) - yy
-            ba_z = d_interp - c["depth_px"]
-            ccx = ba_y * c["bc_z"] - ba_z * c["bc_y"]
-            ccy = ba_z * c["bc_x"] - ba_x * c["bc_z"]
-            ccz = ba_x * c["bc_y"] - ba_y * c["bc_x"]
-            n2 = ccx * ccx + ccy * ccy + ccz * ccz
-            outs.append(jnp.where(on_face == 0.0, _OFF_FACE_N2, n2))
-        return outs
-
-    def step_samples(c, i):
-        """Loop iteration i's [(sample index, norm^2)] under the pack."""
-        if step_pack == 1:
-            return [(i, sample_n2(c, step_t(c, i)))]
-        return list(
-            zip(
-                (2 * i, 2 * i + 1),
-                sample_pair_n2(c, ts_ref[2 * i, 0], ts_ref[2 * i + 1, 0]),
-            )
-        )
 
     n_loop = ts_ref.shape[0] // step_pack
 
@@ -565,82 +231,393 @@ def _march_kernel(
             flag = flag | rowany_ref[img, (g0 + gi) * n_chunk + c]
         return flag
 
-    def store_slab(k, c, min_n2, s_star, denom, live=None):
-        min_d = jnp.sqrt(min_n2 + _EPS) / denom
-        # Off-face sentinel: reproduce the exact 1e6 constant (:490).
-        min_d = jnp.where(min_n2 >= _OFF_FACE_N2, _OFF_FACE, min_d)
-        if live is not None:
-            # Culled unit: the all-vetoed sentinel, independent of whether
-            # the step loop was skipped (trip count 0) or ran (interleave
-            # mode only forces outputs).
-            min_d = jnp.where(live > 0, min_d, _OFF_FACE)
-            if s_star is not None:
-                s_star = jnp.where(live > 0, s_star, 0)
-        if gate is not None:
-            min_d = min_d + jnp.where(gate, cfg.shadow_bias, 0.0).astype(
-                min_d.dtype
-            )
-        out_ref[0, k * sub : (k + 1) * sub, c * cw : (c + 1) * cw] = min_d
-        if tstar_ref is not None:
-            tstar_ref[
-                0, k * sub : (k + 1) * sub, c * cw : (c + 1) * cw
-            ] = s_star
 
-    # The argmin carry is the compact int32 SAMPLE INDEX, not the f32 t value
-    # (the wrapper looks t up in the sample_ts table afterwards — exact, the
-    # stored t is the identical f32 constant). The int chain (iota compare +
-    # select) is also cheaper for Mosaic to schedule than carrying a second
-    # f32 plane through the min loop.
-    init_min = jnp.full((sub, cw), jnp.inf, jnp.float32)
-    init_t = jnp.zeros((sub, cw), jnp.int32)
 
-    # Processing units: (row slab, column chunk) pairs. Chunks march the
-    # same full-width tap space; only their pixel sets (matmul M extents)
-    # differ, so splitting is FLOP-neutral when every unit is live.
-    units = [(k, c) for k in range(n_sub) for c in range(n_chunk)]
 
-    if cfg.shadow_slab_interleave and len(units) > 1:
-        # All units advance inside ONE step loop: the per-unit dependency
-        # chains (build -> matmul -> reduce -> chain) are independent, so
-        # Mosaic can overlap one unit's VPU builds with another's MXU work.
-        consts = [slab_consts(k, c) for k, c in units]
+    def machinery(cw):
+        """Width-parameterized per-unit machinery.
 
-        def step_all(i, carry):
-            out = []
-            for u in range(len(units)):
-                acc = carry[u]
-                for sidx, n2 in step_samples(consts[u], i):
-                    if tstar_ref is None:
-                        acc = jnp.minimum(acc, n2)
-                    else:
-                        min_acc, sbest = acc
-                        acc = (jnp.minimum(min_acc, n2),
-                               jnp.where(n2 < min_acc, sidx, sbest))
-                out.append(acc)
-            return tuple(out)
+        One instantiation per distinct unit width: `cw` (the column-chunk
+        width) always; additionally the full width `w` when the dual-path
+        dispatch below wants the pre-chunking schedule for dense slabs.
+        Tap-class (lane) extents stay the FULL image width/height — a
+        pixel's ray crosses the whole image regardless of which column
+        chunk it lives in — so vregs and MXU tiles stay filled; only the
+        gather matmul's M extent (pixels) shrinks with cw.
+        """
+        cls_wf = jax.lax.broadcasted_iota(jnp.int32, (sub, cw, w), 2).astype(jnp.float32)
+        cls_hf = jax.lax.broadcasted_iota(jnp.int32, (sub, cw, h), 2).astype(jnp.float32)
+        if step_pack == 2:
+            # Packed-pair tap classes (loop-invariant): lanes [0, W) carry step
+            # s0's x taps, [W, 2W) step s1's; the y classes repeat [0, H) four
+            # times for the [b0 | m0 | b1 | m1] packed reduction layout.
+            ix2 = jax.lax.broadcasted_iota(jnp.int32, (sub, cw, 2 * w), 2)
+            seg_x2 = ix2 >= w
+            cls_x2 = (ix2 - jnp.where(seg_x2, w, 0)).astype(jnp.float32)
+            iy4 = jax.lax.broadcasted_iota(jnp.int32, (sub, cw, 4 * h), 2)
+            seg_y4 = iy4 >= 2 * h
+            cls_y4 = jnp.remainder(iy4, h).astype(jnp.float32)
+            jsel = jax.lax.broadcasted_iota(jnp.int32, (4 * h, 1), 0)
+            sel_cols = [
+                ((jsel >= k * h) & (jsel < (k + 1) * h)).astype(jnp.float32)
+                for k in range(4)
+            ]
 
-        init = tuple(
-            init_min if tstar_ref is None else (init_min, init_t)
-            for _ in units
-        )
-        finals = jax.lax.fori_loop(0, n_loop, step_all, init,
-                                   unroll=unroll)
-        for u, (k, c) in enumerate(units):
-            # Interleave mode shares one step loop across units, so culled
-            # units cannot skip it; only their outputs are forced.
-            live = unit_live(k, c) if cull else None
-            if tstar_ref is None:
-                store_slab(k, c, finals[u], None, consts[u]["denom"], live)
-            else:
-                store_slab(
-                    k, c, finals[u][0], finals[u][1], consts[u]["denom"],
-                    live,
+
+        def reduce_h(x3, w3, exact_products: bool):
+            """sum(x3 * w3, axis=-1): (SUB, CW, H) -> (SUB, CW).
+
+            'mxu' mode: one elementwise pass + a ones-matvec on the MXU instead
+            of ~8 cross-lane VPU passes. exact_products marks 1.0 x {0,1}
+            selections that are exact at any matmul precision. 'auto' (measured
+            on v5e): MXU for exact products and for fast (bf16) mode; for 'high'
+            a bf16x2 SPLIT matvec (prod = hi + lo, two DEFAULT passes — the MXU
+            accumulates f32, so the result tracks the f32 sum to ~2^-17 relative,
+            inside the tier's error budget) replaces the ~7-pass cross-lane sum;
+            VPU only for strict f32 values — a HIGHEST-precision matvec costs
+            more than the cross-lane sum it replaces.
+            """
+            mode = cfg.shadow_reduce
+            prod = x3 * w3
+
+            def matvec(a, mv_precision):
+                out = jax.lax.dot_general(
+                    a.reshape(sub * cw, h),
+                    ones_h.astype(a.dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mv_precision,
                 )
-    else:
-        for k, c in units:
+                return out.reshape(sub, cw, 1)[:, :, 0]
+
+            if mode == "auto":
+                if exact_products or precision == jax.lax.Precision.DEFAULT:
+                    use = "mxu"
+                elif precision == "high":
+                    use = "mxu_split"
+                else:
+                    use = "vpu"
+            else:
+                use = mode
+            if use == "vpu":
+                return jnp.sum(prod, axis=2)
+            if use == "mxu_split":
+                hi_f32 = prod.astype(jnp.bfloat16).astype(jnp.float32)
+                hi = hi_f32.astype(jnp.bfloat16)
+                lo = (prod - hi_f32).astype(jnp.bfloat16)
+                d = jax.lax.Precision.DEFAULT
+                return matvec(hi, d) + matvec(lo, d)
+            red_precision = (
+                jax.lax.Precision.HIGHEST if precision == "high" else precision
+            )
+            return matvec(
+                prod,
+                jax.lax.Precision.DEFAULT if exact_products else red_precision,
+            )
+
+
+        def slab_consts(k, c=0):
+            """Per-(slab, column-chunk) pixel coordinates, endpoints, BC terms."""
+            rows = (
+                jax.lax.broadcasted_iota(jnp.int32, (sub, cw), 0).astype(jnp.float32)
+                + (row0 + k * sub).astype(jnp.float32)
+            )
+            cols = (
+                jax.lax.broadcasted_iota(jnp.int32, (sub, cw), 1).astype(jnp.float32)
+                + float(c * cw)
+            )
+            xx = cols - w / 2.0
+            yy = h / 2.0 - rows
+            depth_px = depth_tile_ref[
+                0, k * sub : (k + 1) * sub, c * cw : (c + 1) * cw
+            ]
+
+            # Branchless border endpoints (reference 9-case analysis, :363-442).
+            slopes = (ly - yy) / (lx - xx + _EPS)
+            intercepts = ly - slopes * lx
+            zx_neg = lx < left
+            zx_pos = lx > right
+            zx_mid = jnp.logical_not(jnp.logical_or(zx_neg, zx_pos))
+            zy_neg = ly < bottom
+            zy_pos = ly > top
+            zy_mid = jnp.logical_not(jnp.logical_or(zy_neg, zy_pos))
+
+            xv = jnp.where(zx_neg, left, right)
+            ex_v = jnp.broadcast_to(xv, xx.shape)
+            ey_v = slopes * xv + intercepts
+            yh = jnp.where(zy_neg, bottom, top)
+            ex_h = (yh - intercepts) / (slopes + _EPS)
+            ey_h = jnp.broadcast_to(yh, yy.shape)
+            inter = jnp.logical_and(ex_h >= left, ex_h <= right)
+            ex_c = jnp.where(inter, ex_h, ex_v)
+            ey_c = jnp.where(inter, ey_h, ey_v)
+            inside = jnp.logical_and(zx_mid, zy_mid)
+            ex = jnp.where(
+                inside, lx, jnp.where(zy_mid, ex_v, jnp.where(zx_mid, ex_h, ex_c))
+            )
+            ey = jnp.where(
+                inside, ly, jnp.where(zy_mid, ey_v, jnp.where(zx_mid, ey_h, ey_c))
+            )
+            ex = jnp.clip(ex, left, right)
+            ey = jnp.clip(ey, bottom, top)
+
+            bc_z = lz - depth_px
+            consts = {
+                "xx": xx,
+                "yy": yy,
+                "depth_px": depth_px,
+                "diff_x": ex - xx,
+                "diff_y": ey - yy,
+                "bc_x": lx - xx,
+                "bc_y": ly - yy,
+                "bc_z": bc_z,
+                "denom": jnp.sqrt(
+                    (lx - xx) ** 2 + (ly - yy) ** 2 + bc_z * bc_z + _EPS
+                ),
+            }
+            if refine:
+                consts["tmap"] = tmap_tile_ref[
+                    0, k * sub : (k + 1) * sub, c * cw : (c + 1) * cw
+                ]
+            return consts
+
+        def step_t(c, s):
+            """Step s's parametric offset: scalar (march) or per-pixel (refine)."""
+            t = ts_ref[s, 0]
+            if refine:
+                t = jnp.clip(c["tmap"] + t, refine_t_range[0], refine_t_range[1])
+            return t
+
+        def sample_n2(c, t):
+            """Cross-product norm^2 of one march sample for one slab."""
+            xx, yy = c["xx"], c["yy"]
+            sx = xx + t * c["diff_x"]
+            sy = yy + t * c["diff_y"]
+
+            # Rounded row index for the mask veto (:449-454).
+            yr = jnp.clip(h / 2.0 - jnp.round(sy), 0, h - 1)
+
+            # Bilinear coordinates, -1e-4 shifted (:457-471).
+            xt = sx + w / 2.0 - _EPS
+            yt = (h / 2.0 - sy) - _EPS
+            xtc = jnp.clip(xt, 0.0, w - 1.0)
+            ytc = jnp.clip(yt, 0.0, h - 1.0)
+
+            # Hat x-weights -> MXU: B[p, r] = x-interpolated depth at row r.
+            # (y-weights are built AFTER the gather matmuls, at their use sites:
+            # hoisting the 2 MB hat_y across a matmul extends its VMEM live
+            # range enough to tip the strict mode over the VMEM budget.)
+            # (Idea measured and REJECTED: quantizing xtc to 1/256 px makes the
+            # hat weights exactly bf16-representable — no operand rounding in
+            # the fast matmul — but breaks the interpret-mode invariant that
+            # the default-precision kernel is bit-identical to the reference
+            # under exact arithmetic, for a fraction-of-a-dB gain on a tier
+            # already 10 dB above the parity bar.)
+            wx = hat(cls_wf, xtc).reshape(sub * cw, w)
+
+            def indicator_rows(weights2d, exact: bool):
+                """(P, W) weights @ indicator^T: indicator gathered per row."""
+                return jax.lax.dot_general(
+                    weights2d,
+                    indicator_t,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    # 1.0 x {0,1} one-hot products are exact at any precision;
+                    # hat-weighted gathers follow the kernel's precision mode.
+                    precision=jax.lax.Precision.DEFAULT if exact else (
+                        jax.lax.Precision.HIGHEST
+                        if precision == "high"
+                        else precision
+                    ),
+                ).reshape(sub, cw, h)
+
+            def onehot_x_rows():
+                # Mask veto x-gather: one-hot at the banker's-rounded x
+                # (:449-454), exact at any matmul precision.
+                xr = jnp.clip(jnp.round(sx) + w / 2.0, 0, w - 1)
+                ind_onehot = jnp.where(
+                    cls_wf == xr[..., None], 1.0, 0.0
+                ).reshape(sub * cw, w)
+                return indicator_rows(ind_onehot, exact=True)
+
+            if mask_mode == "hat":
+                # One widened matmul gathers depth AND the hat-interpolated
+                # indicator; thresholding the indicator at 0.5 selects the
+                # nearest tap's value (the taps are {0,1} and the two hat
+                # weights sum to 1). The depth interp is bit-identical to
+                # onehot mode (same shifted weights); the veto differs from
+                # the reference's banker's-rounded gather only at samples
+                # whose position lands within 1e-4 of a half-integer —
+                # including the systematic exact-half hits from integer
+                # pixel-to-border spans, ~0.3% of pixels on random masks
+                # (see RenderConfig.shadow_mask_gather).
+                bw = gather_dot(wx).reshape(sub, cw, 2 * h)
+                b = bw[:, :, :h]
+                d_interp = reduce_h(b, hat(cls_hf, ytc), exact_products=False)
+                onehot_yr = jnp.where(cls_hf == yr[..., None], 1.0, 0.0)
+                vsel = reduce_h(bw[:, :, h:], onehot_yr, exact_products=True)
+                on_face = jnp.where(vsel > 0.5, 1.0, 0.0)
+            elif mask_mode == "onehot":
+                b = gather_dot(wx).reshape(sub, cw, h)
+                d_interp = reduce_h(b, hat(cls_hf, ytc), exact_products=False)
+                # Exact veto: one-hot gathers on BOTH axes (bit-matches the
+                # reference's rounded-coordinate indicator lookup).
+                onehot_yr = jnp.where(cls_hf == yr[..., None], 1.0, 0.0)
+                on_face = reduce_h(onehot_x_rows(), onehot_yr, exact_products=True)
+            elif mask_mode == "hat_y":
+                # Exact one-hot x gather; the y tap is selected by REUSING the
+                # depth lookup's hat_y weights (two taps summing to 1 -> the
+                # >0.5 threshold picks the nearest row of the -1e-4-shifted
+                # coordinate). Drops the onehot_y build: 2 fewer VPU passes
+                # per step than 'onehot'. Veto differs from the reference's
+                # banker's-rounded row only within 1e-4 of half-integer sample
+                # rows (same knife-edge class as 'hat').
+                b = gather_dot(wx).reshape(sub, cw, h)
+                mrows = onehot_x_rows()
+                hat_y = hat(cls_hf, ytc)
+                d_interp = reduce_h(b, hat_y, exact_products=False)
+                vsel = reduce_h(mrows, hat_y, exact_products=True)
+                on_face = jnp.where(vsel > 0.5, 1.0, 0.0)
+            elif mask_mode == "bilinear":
+                # Fast-mode approximation: veto = thresholded BILINEAR interp
+                # of the indicator at the shifted sample position, reusing BOTH
+                # hat builds (4 fewer VPU passes per step than 'onehot'; one
+                # extra hat-weighted MXU matmul). Unlike the other modes this
+                # is not a nearest-corner gather: within the ~half-pixel band
+                # where bilinear(indicator) crosses 0.5 on a different side
+                # than the rounded-corner lookup, the veto flips. Off-face
+                # regions still veto exactly (all four taps 0), on-face
+                # interiors never veto (all four taps 1).
+                b = gather_dot(wx).reshape(sub, cw, h)
+                mrows = indicator_rows(wx, exact=False)
+                hat_y = hat(cls_hf, ytc)
+                d_interp = reduce_h(b, hat_y, exact_products=False)
+                vsel = reduce_h(mrows, hat_y, exact_products=True)
+                on_face = jnp.where(vsel > 0.5, 1.0, 0.0)
+            else:
+                raise ValueError(f"unknown mask_mode: {mask_mode}")
+
+            # 3D point-to-line distance (:478-487); sample xy keeps the
+            # shift. The per-pixel denominator is constant across steps and
+            # sqrt is monotone, so the loop carries the raw cross-product
+            # norm^2 and the final sqrt(.+eps)/denom happens once outside —
+            # identical values, two fewer VPU passes per step.
+            ba_x = (xt - w / 2.0) - xx
+            ba_y = (h / 2.0 - yt) - yy
+            ba_z = d_interp - c["depth_px"]
+            cx = ba_y * c["bc_z"] - ba_z * c["bc_y"]
+            cy = ba_z * c["bc_x"] - ba_x * c["bc_z"]
+            cz = ba_x * c["bc_y"] - ba_y * c["bc_x"]
+            n2 = cx * cx + cy * cy + cz * cz
+            return jnp.where(on_face == 0.0, _OFF_FACE_N2, n2)
+
+        def sample_pair_n2(c, t0, t1):
+            """Two march samples with lane-packed builds and ONE gather matmul.
+
+            Draft-tier turbo (shadow_step_pack=2): at the 64^2 low-res march
+            every (SUB, W, W)/(SUB, W, H) tap array half-fills its (8, 128)
+            vregs and MXU tiles. Packing both steps' x taps into one
+            (SUB, W, 2W) hat build, both steps' y taps into one (SUB, W, 4H)
+            build and gathering depth AND indicator for BOTH steps through one
+            block-diagonal (2W, 4H) matmul fills them. The extra contraction
+            terms are exact zeros (a step's tap lanes only meet its own
+            operand rows; hat weights vanish outside [coord-1, coord+1]); the
+            only numeric difference from two sample_n2 calls is f32 summation
+            ORDER inside the longer dots (measured <= 6e-6 absolute in
+            interpret mode, no sentinel/argmin disagreements —
+            tests/test_shadows_pack.py).
+            """
+            xx, yy = c["xx"], c["yy"]
+            per_step = []
+            for t in (t0, t1):
+                sx = xx + t * c["diff_x"]
+                sy = yy + t * c["diff_y"]
+                xt = sx + w / 2.0 - _EPS
+                yt = (h / 2.0 - sy) - _EPS
+                per_step.append(
+                    (xt, yt, jnp.clip(xt, 0.0, w - 1.0), jnp.clip(yt, 0.0, h - 1.0))
+                )
+            cx2 = jnp.where(
+                seg_x2, per_step[1][2][..., None], per_step[0][2][..., None]
+            )
+            wx2 = jnp.maximum(0.0, 1.0 - jnp.abs(cls_x2 - cx2))
+            cy4 = jnp.where(
+                seg_y4, per_step[1][3][..., None], per_step[0][3][..., None]
+            )
+            hat_y4 = jnp.maximum(0.0, 1.0 - jnp.abs(cls_y4 - cy4))
+            # [b0 | m0 | b1 | m1]: one fully-packed gather for both steps.
+            bw = gather_dot(wx2.reshape(sub * cw, 2 * w)).reshape(sub, cw, 4 * h)
+            prod = (bw * hat_y4).reshape(sub * cw, 4 * h)
+
+            def matvec(sel):
+                out = jax.lax.dot_general(
+                    prod,
+                    sel,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                return out.reshape(sub, cw, 1)[:, :, 0]
+
+            reduced = [matvec(s) for s in sel_cols]
+            outs = []
+            for k, (xt, yt, _xtc, _ytc) in enumerate(per_step):
+                d_interp = reduced[2 * k]
+                on_face = jnp.where(reduced[2 * k + 1] > 0.5, 1.0, 0.0)
+                ba_x = (xt - w / 2.0) - xx
+                ba_y = (h / 2.0 - yt) - yy
+                ba_z = d_interp - c["depth_px"]
+                ccx = ba_y * c["bc_z"] - ba_z * c["bc_y"]
+                ccy = ba_z * c["bc_x"] - ba_x * c["bc_z"]
+                ccz = ba_x * c["bc_y"] - ba_y * c["bc_x"]
+                n2 = ccx * ccx + ccy * ccy + ccz * ccz
+                outs.append(jnp.where(on_face == 0.0, _OFF_FACE_N2, n2))
+            return outs
+
+        def step_samples(c, i):
+            """Loop iteration i's [(sample index, norm^2)] under the pack."""
+            if step_pack == 1:
+                return [(i, sample_n2(c, step_t(c, i)))]
+            return list(
+                zip(
+                    (2 * i, 2 * i + 1),
+                    sample_pair_n2(c, ts_ref[2 * i, 0], ts_ref[2 * i + 1, 0]),
+                )
+            )
+
+        def store_slab(k, c, min_n2, s_star, denom, live=None):
+            min_d = jnp.sqrt(min_n2 + _EPS) / denom
+            # Off-face sentinel: reproduce the exact 1e6 constant (:490).
+            min_d = jnp.where(min_n2 >= _OFF_FACE_N2, _OFF_FACE, min_d)
+            if live is not None:
+                # Culled unit: the all-vetoed sentinel, independent of whether
+                # the step loop was skipped (trip count 0) or ran (interleave
+                # mode only forces outputs).
+                min_d = jnp.where(live > 0, min_d, _OFF_FACE)
+                if s_star is not None:
+                    s_star = jnp.where(live > 0, s_star, 0)
+            if gate is not None:
+                min_d = min_d + jnp.where(gate, cfg.shadow_bias, 0.0).astype(
+                    min_d.dtype
+                )
+            out_ref[0, k * sub : (k + 1) * sub, c * cw : (c + 1) * cw] = min_d
+            if tstar_ref is not None:
+                tstar_ref[
+                    0, k * sub : (k + 1) * sub, c * cw : (c + 1) * cw
+                ] = s_star
+
+        # The argmin carry is the compact int32 SAMPLE INDEX, not the f32 t value
+        # (the wrapper looks t up in the sample_ts table afterwards — exact, the
+        # stored t is the identical f32 constant). The int chain (iota compare +
+        # select) is also cheaper for Mosaic to schedule than carrying a second
+        # f32 plane through the min loop.
+        init_min = jnp.full((sub, cw), jnp.inf, jnp.float32)
+        init_t = jnp.zeros((sub, cw), jnp.int32)
+
+        def run_and_store(k, c):
             cst = slab_consts(k, c)
 
-            def step(i, carry, cst=cst):
+            def step(i, carry):
                 for sidx, n2 in step_samples(cst, i):
                     if tstar_ref is None:
                         carry = jnp.minimum(carry, n2)
@@ -653,35 +630,125 @@ def _march_kernel(
                 return carry
 
             init = init_min if tstar_ref is None else (init_min, init_t)
-
-            def run_and_store(k=k, c=c, cst=cst, step=step, init=init):
-                final = jax.lax.fori_loop(0, n_loop, step, init,
-                                          unroll=unroll)
-                if tstar_ref is None:
-                    store_slab(k, c, final, None, cst["denom"])
-                else:
-                    store_slab(k, c, final[0], final[1], cst["denom"])
-
-            if not cull:
-                run_and_store()
+            final = jax.lax.fori_loop(0, n_loop, step, init, unroll=unroll)
+            if tstar_ref is None:
+                store_slab(k, c, final, None, cst["denom"])
             else:
-                # Culled unit -> skip the whole step loop. The loop stays
-                # STATIC inside a pl.when branch: a dynamic trip count was
-                # measured to defeat Mosaic's loop scheduling (draft-tier
-                # 128^2 march dropped 103 -> 80 img/s); branch + static
-                # loop keeps the uncull'd path's schedule.
-                live = unit_live(k, c)
-                pl.when(live > 0)(run_and_store)
+                store_slab(k, c, final[0], final[1], cst["denom"])
 
-                def store_sentinel(k=k, c=c, cst=cst):
-                    # init carry (inf / index 0) -> store_slab's sentinel
-                    # substitution emits the all-vetoed 1e6 (+ gate bias).
+        def store_sentinel(k, c):
+            # init carry (inf / index 0) -> store_slab's sentinel
+            # substitution emits the all-vetoed 1e6 (+ gate bias).
+            cst = slab_consts(k, c)
+            if tstar_ref is None:
+                store_slab(k, c, init_min, None, cst["denom"])
+            else:
+                store_slab(k, c, init_min, init_t, cst["denom"])
+
+        return types.SimpleNamespace(
+            slab_consts=slab_consts,
+            step_samples=step_samples,
+            store_slab=store_slab,
+            init_min=init_min,
+            init_t=init_t,
+            run_and_store=run_and_store,
+            store_sentinel=store_sentinel,
+        )
+
+    # ---------------- dispatch over (row slab, column chunk) units --------
+    M = machinery(cw)
+
+    if cfg.shadow_slab_interleave and n_sub > 1:
+        # All slabs advance inside ONE step loop: the per-slab dependency
+        # chains (build -> matmul -> reduce -> chain) are independent, so
+        # Mosaic can overlap one slab's VPU builds with another's MXU work.
+        # The shared loop marches FULL-width rows (chunking buys nothing
+        # here — culled units cannot skip a shared loop); with column
+        # culling only the forced-sentinel granularity changes, via a
+        # per-lane liveness mask built from the block flags.
+        MF = M if n_chunk == 1 else machinery(w)
+        consts = [MF.slab_consts(k, 0) for k in range(n_sub)]
+
+        def step_all(i, carry):
+            out = []
+            for k in range(n_sub):
+                acc = carry[k]
+                for sidx, n2 in MF.step_samples(consts[k], i):
                     if tstar_ref is None:
-                        store_slab(k, c, init_min, None, cst["denom"])
+                        acc = jnp.minimum(acc, n2)
                     else:
-                        store_slab(k, c, init_min, init_t, cst["denom"])
+                        min_acc, sbest = acc
+                        acc = (jnp.minimum(min_acc, n2),
+                               jnp.where(n2 < min_acc, sidx, sbest))
+                out.append(acc)
+            return tuple(out)
 
-                pl.when(live == 0)(store_sentinel)
+        init = tuple(
+            MF.init_min if tstar_ref is None else (MF.init_min, MF.init_t)
+            for _ in range(n_sub)
+        )
+        finals = jax.lax.fori_loop(0, n_loop, step_all, init,
+                                   unroll=unroll)
+
+        def slab_live_mask(k):
+            """(SUB, W) i32: per-pixel block liveness for forced stores."""
+            lane_chunk = (
+                jax.lax.broadcasted_iota(jnp.int32, (sub, w), 1) // cw
+            )
+            m = jnp.zeros((sub, w), jnp.int32)
+            for c in range(n_chunk):
+                m = jnp.where(lane_chunk == c, unit_live(k, c), m)
+            return m
+
+        for k in range(n_sub):
+            if not cull:
+                live = None
+            elif n_chunk == 1:
+                live = unit_live(k, 0)
+            else:
+                live = slab_live_mask(k)
+            if tstar_ref is None:
+                MF.store_slab(k, 0, finals[k], None, consts[k]["denom"],
+                              live)
+            else:
+                MF.store_slab(
+                    k, 0, finals[k][0], finals[k][1], consts[k]["denom"],
+                    live,
+                )
+    else:
+        # Dual path: dense slabs (every chunk live — e.g. random masks, or
+        # interior face rows with no margin) run the PRE-CHUNKING full-width
+        # schedule, so the column cull costs exactly zero when it cannot
+        # fire; slabs with at least one dead block run per-chunk loops and
+        # skip the dead ones. All pl.when predicates are flat scalars (no
+        # nesting) with disjoint store slices.
+        dual = cull and n_chunk > 1
+        MF = machinery(w) if dual else None
+        for k in range(n_sub):
+            if not cull:
+                for c in range(n_chunk):
+                    M.run_and_store(k, c)
+                continue
+            if not dual:
+                live = unit_live(k, 0)
+                pl.when(live > 0)(functools.partial(M.run_and_store, k, 0))
+                pl.when(live == 0)(
+                    functools.partial(M.store_sentinel, k, 0)
+                )
+                continue
+            flags = [unit_live(k, c) for c in range(n_chunk)]
+            all_live = flags[0]
+            for f in flags[1:]:
+                all_live = all_live & f
+            dense = all_live > 0
+            pl.when(dense)(functools.partial(MF.run_and_store, k, 0))
+            for c, f in enumerate(flags):
+                pl.when(jnp.logical_and(jnp.logical_not(dense), f > 0))(
+                    functools.partial(M.run_and_store, k, c)
+                )
+                pl.when(jnp.logical_and(jnp.logical_not(dense), f == 0))(
+                    functools.partial(M.store_sentinel, k, c)
+                )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -254,3 +254,38 @@ def test_precision_tiers_enable_colcull():
         cfg = apply_precision_tier(PipelineConfig(), tier)
         assert cfg.render.shadow_col_chunk == 64, tier
     assert PipelineConfig().render.shadow_col_chunk == 0
+
+
+def test_dense_slabs_use_fullwidth_schedule():
+    """A mask with every block live must produce BIT-identical output to
+    the row-cull kernel in every mode: dense slabs dispatch to the same
+    full-width machinery (the dual path's zero-cost-when-it-cannot-fire
+    guarantee — e.g. random benchmark masks)."""
+    rng = np.random.default_rng(3)
+    h, w = BASE.img_height, BASE.img_width
+    depth = jnp.asarray(rng.normal(size=(2, h, w)).astype(np.float32) * 30)
+    # 90% density i.i.d.: every (8 x 16) block has a face pixel w.h.p.
+    mask = jnp.asarray((rng.uniform(size=(2, h, w)) > 0.1).astype(np.float32))
+    lights = jnp.asarray(
+        np.asarray([[0.3, 0.4, 0.866], [-0.6, 0.1, 0.79]], np.float32)
+        * BASE.light_distance
+    )
+    live = _live(mask, COL.shadow_col_chunk)
+    assert live.all(), "fixture must be fully dense for this test"
+    for overrides in (
+        dict(shadow_matmul_precision="highest"),
+        dict(shadow_matmul_precision="default", shadow_step_pack=2),
+    ):
+        cfg_col = dataclasses.replace(COL, **overrides)
+        cfg_row = dataclasses.replace(cfg_col, shadow_col_chunk=0)
+        got = np.asarray(
+            SP.ray_march_min_distance_pallas(
+                depth, mask, lights, cfg_col, interpret=True
+            )
+        )
+        want = np.asarray(
+            SP.ray_march_min_distance_pallas(
+                depth, mask, lights, cfg_row, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, want)
