@@ -13,10 +13,31 @@ from typing import Any, Optional
 import jax
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _checkpointer():
+    # ONE process-wide checkpointer: every PyTreeCheckpointer instance
+    # retains ~0.2x the saved bytes for the life of the process (measured
+    # 9.3 MB/save for a 40 MB tree on this image's orbax when constructed
+    # per call; 0.0 with a singleton) — per-epoch saves in a 100-epoch
+    # protocol run would leak GBs.
     import orbax.checkpoint as ocp
 
     return ocp.PyTreeCheckpointer()
+
+
+def _malloc_trim() -> None:
+    """Return freed glibc arena pages to the OS. The per-epoch save's
+    transient peak (host fetch + orbax scratch atop the metrics buffers)
+    otherwise ratchets the process high-water RSS up every epoch."""
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:  # non-glibc / no ctypes: RSS just stays high-water
+        pass
 
 
 def save_variables(path: str, tree: Any) -> None:
@@ -28,6 +49,7 @@ def save_variables(path: str, tree: Any) -> None:
     # (~0.3 s x ~865 TrainState leaves = minutes for tens of MB); the packed
     # path is one jitted pack dispatch + one fetch per dtype group.
     _checkpointer().save(path, pack_device_get(tree), force=True)
+    _malloc_trim()
 
 
 def restore_variables(path: str, template: Optional[Any] = None) -> Any:
