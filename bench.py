@@ -40,6 +40,19 @@ def main() -> None:
     if os.environ.get("BENCH_STRICT") == "1":
         tier = "strict"
     cfg = apply_precision_tier(cfg, tier)
+    # Experiment knob: override the column-cull chunk width (the shipping
+    # tiers set 64; e.g. BENCH_COL_CHUNK=32 trades finer dead-block
+    # granularity against Mosaic sub-64-lane offset handling).
+    if os.environ.get("BENCH_COL_CHUNK"):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            render=dataclasses.replace(
+                cfg.render,
+                shadow_col_chunk=int(os.environ["BENCH_COL_CHUNK"]),
+            ),
+        )
     model = RelightNet(cfg=cfg.model)
 
     # Throughput rises with batch as fixed dispatch overheads amortize:
