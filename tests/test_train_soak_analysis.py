@@ -75,15 +75,18 @@ def test_rss_gate_steps_vs_tail_slope():
 
     rep = _run(secs, rss, wall_extra=500.0)
     host = rep["host"]
-    assert host["rss_flat_between_recompiles"] is True
+    assert host["rss_bounded_for_protocol"] is True
     assert host["rss_step_per_gate_recompile_kb"] > 400_000
     assert abs(host["rss_tail_slope_kb_per_min"]) < 2048
+    assert abs(host["rss_floor_slope_kb_per_epoch"]) < 2048
 
 
 def test_rss_unbounded_tail_is_flagged():
     secs = [160.0] + [82.0] * 19
-    rep = _run(secs, lambda t: 1_500_000 + int(100 * t))  # 6 MB/min forever
-    assert rep["host"]["rss_flat_between_recompiles"] is False
+    # ~330 MB/epoch forever: projected 100-epoch peak blows 25% of host RAM
+    rep = _run(secs, lambda t: 1_500_000 + int(4000 * t))
+    assert rep["host"]["rss_bounded_for_protocol"] is False
+    assert rep["host"]["rss_floor_slope_kb_per_epoch"] > 100_000
 
 
 def test_loss_gate_recovery():
