@@ -30,7 +30,11 @@ worker thread, which the exclusive TPU requires. /relight requests coalesce
 into one padded device batch (TPU serving batches are fixed-shape, so only
 three shapes ever compile: a minimum relight batch for idle traffic,
 --max-batch for bursts, and one estimate shape); /estimate runs serialized
-between batches. With --data-parallel the relighter shards every device batch
+between batches. Under backlog (more than --max-batch outstanding) the
+worker PIPELINES consecutive batches — batch N+1 is assembled, uploaded and
+dispatched while batch N computes and its packed outputs stream back
+asynchronously — hiding the per-dispatch tunnel cost (--no-pipeline
+restores the serialized loop; statz counts pipelined_batches). With --data-parallel the relighter shards every device batch
 across all chips (min batch = chip count; --max-batch a multiple of it).
 Handler threads block on a Future with a timeout and return 503 if the
 worker wedges or dies, rather than hanging the client forever.
@@ -140,6 +144,11 @@ class MicroBatcher:
     the batch to a fixed size (one compiled shape per bucket: 1 or
     max_batch), runs one forward, and scatters per-request outputs back
     through Futures. Estimates run one at a time (single compiled shape).
+
+    When more than max_batch requests are outstanding, consecutive batches
+    PIPELINE: the worker dispatches batch N+1 (host stack + uint8 upload +
+    device compute) before fetching batch N's packed outputs, so the
+    per-batch tunnel cost overlaps device work (pipeline=False disables).
     """
 
     def __init__(
@@ -149,7 +158,11 @@ class MicroBatcher:
         window_ms: float = 4.0,
         request_timeout_s: float = 120.0,
         tier_pool=None,
+        pipeline: bool = True,
     ):
+        # pipeline: overlap batch N's result fetch with batch N+1's
+        # assembly/upload/dispatch (see _worker). False restores the fully
+        # serialized dispatch->fetch loop (an A/B and fallback knob).
         # tier_pool: optional callable tier-name -> Relighter used for
         # per-request "precision" overrides; only the worker thread calls
         # it, so a lazily-populated dict inside it needs no locking. The
@@ -178,6 +191,7 @@ class MicroBatcher:
             raise ValueError(f"max_batch {max_batch} must be a multiple of {what}")
         self.window_s = window_ms / 1000.0
         self.request_timeout_s = request_timeout_s
+        self.pipeline = pipeline
         self._queue: "queue.Queue" = queue.Queue()
         # Serving counters (GET /statz). Written only by the worker thread;
         # racy point-in-time reads from handler threads are fine under the
@@ -189,6 +203,7 @@ class MicroBatcher:
             "batched_rows": 0,       # real rows, excluding padding
             "padded_rows": 0,        # rows actually sent to the device
             "device_seconds": 0.0,
+            "pipelined_batches": 0,  # batches dispatched while one pended
             "errors": 0,
             "per_tier": {},          # tier -> request count ('' = default)
             "per_format": {},        # response format -> request count
@@ -244,12 +259,31 @@ class MicroBatcher:
         return fut.result(timeout=self.request_timeout_s)
 
     def _worker(self):
+        # Pipelined double-buffering (self.pipeline, default on): after
+        # dispatching batch N (device compute + async device->host copy of
+        # the packed outputs), the worker goes straight back to the queue;
+        # batch N's fetch (and its futures) resolve only once batch N+1 has
+        # been dispatched or the queue is momentarily empty. At concurrency
+        # <= max_batch nothing changes -- the queue is empty right after
+        # each dispatch, so the fetch happens immediately, same as the old
+        # serialized loop. Above it, batch N+1's host stack + uint8 upload
+        # ride the tunnel while batch N computes, hiding the per-dispatch
+        # link cost that dominates small-batch serving on this transport
+        # (docs/BENCH_serve.json). At most ONE batch is ever pending, so
+        # device memory and queue-order fairness are unchanged.
+        pending = None
         while True:
-            kind, payload, fut = self._queue.get()
-            gets = 1  # task_done() once per get(), so drain() can observe
             try:
-                if kind == "estimate":
-                    # uint8 stays uint8 (device-side /255).
+                kind, payload, fut = self._queue.get(block=pending is None)
+            except queue.Empty:
+                pending = self._flush(pending)
+                continue
+            if kind == "estimate":
+                # Flush first so earlier relight callers aren't held behind
+                # this caller's blocking fetch; uint8 stays uint8
+                # (device-side /255).
+                pending = self._flush(pending)
+                try:
                     self.stats["estimate_requests"] += 1
                     t0 = time.monotonic()
                     batch = np.broadcast_to(
@@ -258,41 +292,56 @@ class MicroBatcher:
                     unit, ambient = self.relighter.estimate_lighting(batch)
                     self.stats["device_seconds"] += time.monotonic() - t0
                     fut.set_result((unit[0], float(ambient[0])))
-                else:
-                    tier = payload[4]
-                    items = [(payload, fut)]
-                    deadline = time.monotonic() + self.window_s
-                    while len(items) < self.max_batch:
-                        timeout = deadline - time.monotonic()
-                        if timeout <= 0:
-                            break
-                        try:
-                            k2, p2, f2 = self._queue.get(timeout=timeout)
-                        except queue.Empty:
-                            break
-                        gets += 1
-                        if k2 == "relight" and p2[4] == tier:
-                            items.append((p2, f2))
-                        else:
-                            # Estimates and different-tier relights don't
-                            # batch with this batch: requeue behind it (the
-                            # worker handles them next iteration).
-                            self._queue.put((k2, p2, f2))
-                            break
-                    self._run_relight_batch(items, tier)
-            except BaseException as e:  # noqa: BLE001 - never kill the worker
-                self.stats["errors"] += 1
-                if not fut.done():
-                    fut.set_exception(
-                        e if isinstance(e, Exception) else WorkerDied(repr(e))
-                    )
-            finally:
-                # After futures resolve, so drain() can't report empty while
-                # a request is still unanswered.
-                for _ in range(gets):
+                except BaseException as e:  # noqa: BLE001 - never kill the worker
+                    self.stats["errors"] += 1
+                    if not fut.done():
+                        fut.set_exception(
+                            e
+                            if isinstance(e, Exception)
+                            else WorkerDied(repr(e))
+                        )
+                finally:
+                    # After the future resolves, so drain() can't report
+                    # empty while a request is still unanswered.
                     self._queue.task_done()
+                continue
+            gets = 1  # task_done() once per get(), deferred to _flush
+            tier = payload[4]
+            items = [(payload, fut)]
+            deadline = time.monotonic() + self.window_s
+            while len(items) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    k2, p2, f2 = self._queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if k2 == "relight" and p2[4] == tier:
+                    items.append((p2, f2))
+                    gets += 1
+                else:
+                    # Estimates and different-tier relights don't batch
+                    # with this batch: requeue behind it (the worker
+                    # handles them next iteration). The re-put registers a
+                    # fresh unfinished task, so this get's task_done
+                    # happens here, not in _flush.
+                    self._queue.put((k2, p2, f2))
+                    self._queue.task_done()
+                    break
+            nxt = self._dispatch_relight_batch(
+                items, gets, tier, pipelined=pending is not None
+            )
+            pending = self._flush(pending)
+            if self.pipeline:
+                pending = nxt
+            else:
+                self._flush(nxt)
 
-    def _run_relight_batch(self, items, tier=None):
+    def _dispatch_relight_batch(self, items, gets, tier=None, pipelined=False):
+        """Stack, upload and dispatch one padded batch; start the async
+        device->host copy of the packed outputs. Returns a pending record
+        for _flush, or None (futures already failed) on dispatch error."""
         n = len(items)
         # Fixed-shape buckets keep the number of compiled programs at 2
         # (per used precision tier).
@@ -317,26 +366,57 @@ class MicroBatcher:
                 out = np.stack(rows)
                 return out if out.dtype == np.uint8 else out.astype(np.float32)
 
-            # Fetch the device-quantized visual pack (uint8, pre-masked):
-            # ~4x less host-link traffic than f32 rendered+weights, and the
-            # response encodes these bytes into PNG verbatim anyway.
-            pack = np.asarray(
-                relighter.forward_visuals(
-                    stack(0),
-                    stack(1),
-                    target_light=stack(2),
-                    target_ambient=stack(3),
-                )
+            # The device-quantized visual pack (uint8, pre-masked): ~4x
+            # less host-link traffic than f32 rendered+weights, and the
+            # response encodes these bytes into PNG/JPEG verbatim anyway.
+            pack = relighter.forward_visuals(
+                stack(0),
+                stack(1),
+                target_light=stack(2),
+                target_ambient=stack(3),
             )
+            if hasattr(pack, "copy_to_host_async"):
+                # Start the fetch now: it rides the link while the worker
+                # assembles and uploads the next batch.
+                pack.copy_to_host_async()
             st["device_seconds"] += time.monotonic() - t0
-            for k, (_, fut) in enumerate(items):
-                fut.set_result((pack[k, ..., 0:3], pack[k, ..., 3]))
+            if pipelined:
+                st["pipelined_batches"] += 1
+            return {"pack": pack, "items": items, "gets": gets}
         except BaseException as e:  # noqa: BLE001 - propagate to each caller
             st["errors"] += 1
             err = e if isinstance(e, Exception) else WorkerDied(repr(e))
             for _, fut in items:
                 if not fut.done():
                     fut.set_exception(err)
+            for _ in range(gets):
+                self._queue.task_done()
+            return None
+
+    def _flush(self, pending):
+        """Fetch a dispatched batch's packed outputs, resolve its futures,
+        and only then task_done its queue entries (so drain() can't report
+        empty while a request is still unanswered). Returns None."""
+        if pending is None:
+            return None
+        st = self.stats
+        t0 = time.monotonic()
+        try:
+            pack = np.asarray(pending["pack"])
+        except BaseException as e:  # noqa: BLE001 - propagate to each caller
+            st["errors"] += 1
+            err = e if isinstance(e, Exception) else WorkerDied(repr(e))
+            for _, fut in pending["items"]:
+                if not fut.done():
+                    fut.set_exception(err)
+        else:
+            st["device_seconds"] += time.monotonic() - t0
+            for k, (_, fut) in enumerate(pending["items"]):
+                fut.set_result((pack[k, ..., 0:3], pack[k, ..., 3]))
+        finally:
+            for _ in range(pending["gets"]):
+                self._queue.task_done()
+        return None
 
 
 def make_tier_pool(cfg, relighter, default_tier: str,
@@ -584,6 +664,12 @@ def main(argv=None) -> int:
                         "(preview-grade shadows, max throughput)")
     parser.add_argument("--fast", action="store_true",
                         help="alias for --precision fast")
+    parser.add_argument("--no-pipeline", action="store_true",
+                        help="disable micro-batch pipelining (fetch batch "
+                        "N's results before dispatching batch N+1); the "
+                        "default overlaps the fetch/upload tunnel cost "
+                        "with device compute when more than --max-batch "
+                        "requests are outstanding")
     parser.add_argument("--drain-timeout-s", type=float, default=30.0,
                         help="max seconds to wait for in-flight device work "
                         "after SIGTERM/SIGINT before exiting non-zero")
@@ -649,7 +735,7 @@ def main(argv=None) -> int:
     )
     batcher = MicroBatcher(
         relighter, max_batch=args.max_batch, window_ms=args.batch_window_ms,
-        tier_pool=tier_pool,
+        tier_pool=tier_pool, pipeline=not args.no_pipeline,
     )
     if args.warmup:
         secs = warmup(

@@ -960,3 +960,107 @@ def test_jpeg_response_format():
         server.shutdown()
     finally:
         serve_mod._decode_image = orig
+
+
+def test_pipelined_worker_overlaps_and_matches_serialized():
+    """With more outstanding requests than max_batch, the worker dispatches
+    batch N+1 before fetching batch N (statz pipelined_batches > 0) and each
+    caller still gets exactly its own row -- byte-identical to a direct
+    batch-2 forward of its inputs. pipeline=False keeps the old fully
+    serialized loop (pipelined_batches == 0) with identical results."""
+    import time
+
+    from geomconsistentfr_tpu.config import preset_single_image
+    from geomconsistentfr_tpu.infer import Relighter
+    from geomconsistentfr_tpu.models.relightnet import RelightNet
+    from geomconsistentfr_tpu.serve import MicroBatcher
+
+    cfg = preset_single_image()
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, img_height=64, img_width=64,
+            num_sample_points=16, t_stop=0.105, march_chunk=16,
+            use_pallas_shadows=False,
+        ),
+    )
+    model = RelightNet(cfg=cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    rng = np.random.default_rng(7)
+    img = (rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+    mask = np.full((64, 64), 255, np.uint8)
+    lights = np.asarray(
+        [[0.3, 0.4, 0.866], [-0.5, 0.1, 0.86], [0.0, -0.6, 0.8],
+         [0.7, 0.0, 0.71]], np.float32,
+    )
+
+    # Reference rows: per-row independence of the batch-2 program (the
+    # storm below runs every request through that same padded bucket).
+    ref = Relighter(cfg, variables)
+    expected = [
+        np.asarray(ref.forward_visuals(
+            np.stack([img, img]), np.stack([mask, mask]),
+            target_light=np.stack([l, l]),
+            target_ambient=np.asarray([0.5, 0.5], np.float32),
+        ))[0]
+        for l in lights
+    ]
+
+    def storm(pipeline):
+        relighter = Relighter(cfg, variables)
+        orig_forward = relighter.forward_visuals
+
+        def slow_forward(images, masks, **kw):
+            # Holds the worker in dispatch long enough that the remaining
+            # requests are queued when it returns, forcing the next batch
+            # to assemble while this one is pending.
+            time.sleep(0.05)
+            return orig_forward(images, masks, **kw)
+
+        relighter.forward_visuals = slow_forward
+        batcher = MicroBatcher(
+            relighter, max_batch=2, window_ms=200.0, pipeline=pipeline
+        )
+        results = [None] * len(lights)
+
+        def post(i):
+            results[i] = batcher.submit(img, mask, lights[i], 0.5)
+
+        # A sacrificial request holds the worker inside dispatch (the 50 ms
+        # sleep) while ALL real requests queue behind it, so the real ones
+        # deterministically form two full batches of 2 -- the same compiled
+        # bucket as the reference rows above -- and, with pipelining on,
+        # each of those batches is dispatched while the previous one is
+        # still pending.
+        sacrificial = threading.Thread(
+            target=lambda: batcher.submit(img, mask, lights[0], 0.5)
+        )
+        sacrificial.start()
+        time.sleep(0.02)
+        threads = [
+            threading.Thread(target=post, args=(i,))
+            for i in range(len(lights))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        sacrificial.join(timeout=600)
+        assert batcher.drain(timeout_s=10.0)
+        assert batcher._queue.unfinished_tasks == 0
+        assert batcher.stats["relight_requests"] == len(lights) + 1
+        assert batcher.stats["errors"] == 0
+        return results, batcher.stats["pipelined_batches"]
+
+    piped, n_piped = storm(pipeline=True)
+    serial, n_serial = storm(pipeline=False)
+    assert n_piped > 0
+    assert n_serial == 0
+    for i in range(len(lights)):
+        rgb, extra = piped[i]
+        assert np.array_equal(rgb, expected[i][..., 0:3])
+        assert np.array_equal(extra, expected[i][..., 3])
+        s_rgb, s_extra = serial[i]
+        assert np.array_equal(s_rgb, rgb)
+        assert np.array_equal(s_extra, extra)

@@ -49,6 +49,9 @@ def main() -> None:
                     help="response codec requested by the storm (jpeg cuts "
                     "the dominant host PNG-deflate cost; BENCH_serve.json)")
     ap.add_argument("--quality", type=int, default=90)
+    ap.add_argument("--no-pipeline", action="store_true",
+                    help="serialized dispatch->fetch worker (A/B baseline "
+                    "for the pipelined micro-batcher)")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +73,7 @@ def main() -> None:
     tier_pool = make_tier_pool(cfg, relighter, args.precision)
     batcher = MicroBatcher(
         relighter, max_batch=args.max_batch, window_ms=args.window_ms,
-        tier_pool=tier_pool,
+        tier_pool=tier_pool, pipeline=not args.no_pipeline,
     )
 
     tiers = [t for t in args.tiers.split(",") if t]
