@@ -593,10 +593,16 @@ def apply_precision_tier(cfg: "PipelineConfig", tier: str) -> "PipelineConfig":
             # Exact on every masked surface (see RenderConfig); all tiers
             # skip the march for fully-off-face 8-row groups, and the
             # column-aware cull additionally skips the off-face left/right
-            # margins inside on-face row bands at 64-column granularity
-            # (~25-30% of blocks on the bundled FFHQ masks).
+            # margins inside on-face row bands. Chunk width 32 tracks the
+            # oval mask boundary tighter than 64 at no dense-path cost
+            # (on-chip A/B, face mask batch 64: strict 26.2 -> 29.8 img/s,
+            # high 38.1 -> 43.5, fast 50.3 -> 53.9, batch-3 train step
+            # 0.129 -> 0.118 s; random-mask fast 27.35 == pre-colcull
+            # 27.4). The draft tier keeps 64: its 64-wide low-res march
+            # measured a wash (351.2 vs 351.7 img/s) and 64 is whole-array
+            # for the scaled operand.
             shadow_mask_cull=True,
-            shadow_col_chunk=64,
+            shadow_col_chunk=64 if tier == "draft" else 32,
         ),
     )
 

@@ -252,7 +252,11 @@ def test_precision_tiers_enable_colcull():
 
     for tier in ("strict", "high", "fast", "draft"):
         cfg = apply_precision_tier(PipelineConfig(), tier)
-        assert cfg.render.shadow_col_chunk == 64, tier
+        # 32 tracks the mask boundary tighter on the full-res tiers
+        # (+7-14% on chip); draft's 64-wide low-res march keeps the
+        # whole-array chunk (a measured wash). See apply_precision_tier.
+        expect = 64 if tier == "draft" else 32
+        assert cfg.render.shadow_col_chunk == expect, tier
     assert PipelineConfig().render.shadow_col_chunk == 0
 
 

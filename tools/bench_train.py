@@ -53,6 +53,16 @@ def main() -> None:
                 shadow_matmul_precision=os.environ["GCFR_PRECISION"],
             ),
         )
+    if os.environ.get("GCFR_COL_CHUNK"):
+        # Column-cull chunk-width A/B knob (the tiers set 32/64; 0 = row
+        # cull only).
+        cfg = dataclasses.replace(
+            cfg,
+            render=dataclasses.replace(
+                cfg.render,
+                shadow_col_chunk=int(os.environ["GCFR_COL_CHUNK"]),
+            ),
+        )
     if os.environ.get("GCFR_SHADOW_SLAB"):
         # Slab-size A/B knob (0 = auto).
         cfg = dataclasses.replace(
